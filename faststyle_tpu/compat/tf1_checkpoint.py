@@ -1,0 +1,268 @@
+"""Standalone TF1 tensor_bundle checkpoint reader — no TensorFlow dependency.
+
+The reference ships its pretrained transform nets as TF1 `Saver` V2
+checkpoints (`/root/reference/models/*_final.ckpt.{index,data-00000-of-00001}`,
+written by train.py:225,286). This module parses that format directly:
+
+  * the `.index` file is a LevelDB-format SSTable mapping variable names to
+    serialized `BundleEntryProto`s (plus an empty-key `BundleHeaderProto`);
+  * the `.data-NNNNN-of-NNNNN` shard holds the raw little-endian tensor bytes
+    at (offset, size) recorded in each entry.
+
+We implement the minimal SSTable reader (footer, block handles, prefix-
+compressed keys, optional snappy blocks) and the handful of protobuf fields
+we need, so converting the shipped weights never requires importing TF.
+
+Validated against `tf.train.load_checkpoint` in tests when TF is available.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+from typing import Dict, Iterator, Tuple
+
+import numpy as np
+
+_SSTABLE_MAGIC = 0xDB4775248B80FB57
+
+# TF DataType enum -> numpy dtype (the subset a faststyle checkpoint can hold)
+_TF_DTYPES = {
+    1: np.float32,
+    2: np.float64,
+    3: np.int32,
+    4: np.uint8,
+    5: np.int16,
+    6: np.int8,
+    7: np.bytes_,
+    9: np.int64,
+    10: np.bool_,
+    14: np.dtype("bfloat16") if hasattr(np, "bfloat16") else np.uint16,
+    19: np.float16,
+}
+
+
+# ---------------------------------------------------------------------------
+# varint / protobuf-lite helpers
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_proto_fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
+    """Yield (field_number, wire_type, value) for a serialized message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:  # fixed64
+            val = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:  # fixed32
+            val = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _parse_shape(buf: bytes) -> Tuple[int, ...]:
+    """TensorShapeProto: repeated field 2 = Dim{1: size}."""
+    dims = []
+    for field, _wire, val in _iter_proto_fields(buf):
+        if field == 2:
+            size = 0
+            for f2, _w2, v2 in _iter_proto_fields(val):
+                if f2 == 1:
+                    size = v2
+            dims.append(size)
+    return tuple(dims)
+
+
+class BundleEntry:
+    __slots__ = ("dtype", "shape", "shard_id", "offset", "size", "crc32c")
+
+    def __init__(self, buf: bytes):
+        self.dtype = np.float32
+        self.shape: Tuple[int, ...] = ()
+        self.shard_id = 0
+        self.offset = 0
+        self.size = 0
+        self.crc32c = 0
+        for field, _wire, val in _iter_proto_fields(buf):
+            if field == 1:
+                self.dtype = _TF_DTYPES[val]
+            elif field == 2:
+                self.shape = _parse_shape(val)
+            elif field == 3:
+                self.shard_id = val
+            elif field == 4:
+                self.offset = val
+            elif field == 5:
+                self.size = val
+            elif field == 6:
+                self.crc32c = val
+
+
+# ---------------------------------------------------------------------------
+# snappy (block format) — minimal decompressor for compressed SSTable blocks
+# ---------------------------------------------------------------------------
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    out_len, pos = _read_varint(data, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nbytes = ln - 59
+                ln = int.from_bytes(data[pos : pos + nbytes], "little")
+                pos += nbytes
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+        else:
+            if kind == 1:  # copy, 1-byte offset
+                ln = ((tag >> 2) & 0x7) + 4
+                off = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            elif kind == 2:  # copy, 2-byte offset
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[pos : pos + 2], "little")
+                pos += 2
+            else:  # copy, 4-byte offset
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4
+            start = len(out) - off
+            for i in range(ln):  # may self-overlap; byte-by-byte is correct
+                out.append(out[start + i])
+    assert len(out) == out_len, "snappy length mismatch"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# SSTable reader
+# ---------------------------------------------------------------------------
+
+
+def _read_block(raw: bytes, offset: int, size: int) -> bytes:
+    """Fetch a block given its handle; handles the 1-byte compression tag."""
+    block = raw[offset : offset + size]
+    ctype = raw[offset + size]  # trailer: compression byte + crc32
+    if ctype == 0:
+        return block
+    if ctype == 1:
+        return _snappy_decompress(block)
+    raise ValueError(f"unsupported block compression {ctype}")
+
+
+def _iter_block_entries(block: bytes) -> Iterator[Tuple[bytes, bytes]]:
+    """Yield (key, value) from a prefix-compressed LevelDB block."""
+    num_restarts = struct.unpack_from("<I", block, len(block) - 4)[0]
+    data_end = len(block) - 4 - 4 * num_restarts
+    pos = 0
+    key = b""
+    while pos < data_end:
+        shared, pos = _read_varint(block, pos)
+        non_shared, pos = _read_varint(block, pos)
+        value_len, pos = _read_varint(block, pos)
+        key = key[:shared] + block[pos : pos + non_shared]
+        pos += non_shared
+        value = block[pos : pos + value_len]
+        pos += value_len
+        yield key, value
+
+
+def _read_handle(buf: bytes, pos: int) -> Tuple[int, int, int]:
+    offset, pos = _read_varint(buf, pos)
+    size, pos = _read_varint(buf, pos)
+    return offset, size, pos
+
+
+def read_index(index_path: str | Path) -> Dict[str, BundleEntry]:
+    """Parse a `.index` file into {variable_name: BundleEntry}."""
+    raw = Path(index_path).read_bytes()
+    magic = struct.unpack_from("<Q", raw, len(raw) - 8)[0]
+    if magic != _SSTABLE_MAGIC:
+        raise ValueError(f"{index_path}: not an SSTable (bad magic)")
+    footer = raw[len(raw) - 48 :]
+    _mi_off, _mi_sz, pos = _read_handle(footer, 0)  # metaindex (unused)
+    idx_off, idx_sz, _ = _read_handle(footer, pos)
+
+    entries: Dict[str, BundleEntry] = {}
+    index_block = _read_block(raw, idx_off, idx_sz)
+    for _key, handle in _iter_block_entries(index_block):
+        off, sz, _ = _read_handle(handle, 0)
+        for key, value in _iter_block_entries(_read_block(raw, off, sz)):
+            if key == b"":  # BundleHeaderProto
+                continue
+            entries[key.decode()] = BundleEntry(value)
+    return entries
+
+
+def load_checkpoint(prefix: str | Path) -> Dict[str, np.ndarray]:
+    """Load all tensors of a TF1 V2 checkpoint given its path prefix.
+
+    `prefix` is the path as TF names it, e.g. `models/starry_final.ckpt`
+    (the actual files are `<prefix>.index` + `<prefix>.data-XXXXX-of-NNNNN`).
+    """
+    prefix = Path(prefix)
+    entries = read_index(prefix.with_name(prefix.name + ".index"))
+    num_shards = 1 + max(e.shard_id for e in entries.values())
+    shards = [
+        (prefix.with_name(f"{prefix.name}.data-{i:05d}-of-{num_shards:05d}")).read_bytes()
+        for i in range(num_shards)
+    ]
+    out: Dict[str, np.ndarray] = {}
+    for name, e in entries.items():
+        raw = shards[e.shard_id][e.offset : e.offset + e.size]
+        arr = np.frombuffer(raw, dtype=e.dtype).reshape(e.shape)
+        out[name] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
+# faststyle-specific conversion
+# ---------------------------------------------------------------------------
+
+
+def load_transform_net_params(prefix: str | Path, scope: str = "img_t_net"):
+    """Convert a reference transform-net checkpoint into our params pytree.
+
+    The variable inventory is the contract from SURVEY.md §2.2:
+    `img_t_net/{initconv_k,resblock_k,upsample_k}/{W,W1,W2,INscale*,INshift*}`.
+    Weight layouts are HWIO, identical to ours — a straight copy.
+    """
+    tensors = load_checkpoint(prefix)
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, arr in tensors.items():
+        parts = name.split("/")
+        if parts[0] != scope or len(parts) != 3:
+            continue
+        params.setdefault(parts[1], {})[parts[2]] = arr
+    if not params:
+        raise ValueError(f"no '{scope}/*' variables found in {prefix}")
+    return params

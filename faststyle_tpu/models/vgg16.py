@@ -1,0 +1,128 @@
+"""Conv-only VGG16 feature tower for perceptual losses.
+
+TPU-native counterpart of the reference's `libs/vgg16.py:26-266` (Frossard's
+Caffe-converted VGG16 with fc layers removed): 13 conv layers (3x3 s1 SAME,
+bias, relu) in 5 groups with 2x2 s2 SAME max-pools, preceded by ImageNet
+mean subtraction on 0-255 RGB input (libs/vgg16.py:40-42 — subtract only, no
+scaling).
+
+The tower is a pure function returning a {layer_name: activation} dict and is
+truncated at the deepest requested layer, so a loss on conv3_3 never pays for
+conv4/conv5 compute (the reference always builds the full tower).
+
+Weights pytree: {'conv1_1': {'W': [3,3,in,out], 'b': [out]}, ...} — HWIO,
+identical to the `.npz` the reference downloads, so loading is a key-rename.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faststyle_tpu.ops import layers as L
+
+# ImageNet channel means, reference libs/vgg16.py:41
+_MEAN_RGB = (123.68, 116.779, 103.939)
+
+# (name, out_channels); pools implicitly follow the last conv of each group
+_GROUPS: Sequence[Sequence[str]] = (
+    ("conv1_1", "conv1_2"),
+    ("conv2_1", "conv2_2"),
+    ("conv3_1", "conv3_2", "conv3_3"),
+    ("conv4_1", "conv4_2", "conv4_3"),
+    ("conv5_1", "conv5_2", "conv5_3"),
+)
+_CHANNELS = {1: 64, 2: 128, 3: 256, 4: 512, 5: 512}
+
+LAYER_ORDER: List[str] = []
+for _gi, _group in enumerate(_GROUPS, start=1):
+    LAYER_ORDER.extend(_group)
+    LAYER_ORDER.append(f"pool{_gi}")
+
+
+def layer_index(name: str) -> int:
+    return LAYER_ORDER.index(name)
+
+
+def apply(
+    params: Dict[str, Dict[str, jax.Array]],
+    x: jax.Array,
+    layers: Optional[Iterable[str]] = None,
+    *,
+    compute_dtype=None,
+) -> Dict[str, jax.Array]:
+    """Run the tower on NHWC RGB [0,255]; return {layer: activation}.
+
+    `layers` selects which activations the caller needs; compute stops after
+    the deepest one. None returns every conv/pool activation.
+    """
+    wanted = set(layers) if layers is not None else set(LAYER_ORDER)
+    unknown = wanted - set(LAYER_ORDER)
+    if unknown:
+        raise ValueError(f"unknown VGG16 layers: {sorted(unknown)}")
+    deepest = max(layer_index(l) for l in wanted)
+
+    h = x.astype(jnp.float32) - jnp.asarray(_MEAN_RGB, jnp.float32)
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
+
+    acts: Dict[str, jax.Array] = {}
+    idx = 0
+    for gi, group in enumerate(_GROUPS, start=1):
+        for name in group:
+            p = params[name]
+            h = L.conv2d(h, p["W"], stride=1, padding="SAME")
+            h = L.relu(h + p["b"].astype(h.dtype))
+            acts[name] = h
+            if idx == deepest:
+                return {k: v for k, v in acts.items() if k in wanted} if layers is not None else acts
+            idx += 1
+        h = L.max_pool_2x2_same(h)
+        acts[f"pool{gi}"] = h
+        if idx == deepest:
+            return {k: v for k, v in acts.items() if k in wanted} if layers is not None else acts
+        idx += 1
+    return acts
+
+
+def load_npz(path) -> Dict[str, Dict[str, np.ndarray]]:
+    """Load Frossard-format `vgg16_weights.npz` (keys `conv1_1_W`/`conv1_1_b`,
+    fc* ignored) into the params pytree.
+
+    The reference loads by sorted-key order into a parameters list
+    (libs/vgg16.py:257-266); name-keyed loading is equivalent for this file
+    and robust to ordering.
+    """
+    raw = np.load(path)
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for key in raw.files:
+        if key.startswith("fc"):
+            continue
+        name, kind = key.rsplit("_", 1)
+        params.setdefault(name, {})["W" if kind == "W" else "b"] = raw[key].astype(np.float32)
+    missing = [n for g in _GROUPS for n in g if n not in params]
+    if missing:
+        raise ValueError(f"{path} missing VGG16 layers: {missing}")
+    return params
+
+
+def init_params(rng: jax.Array) -> Dict[str, Dict[str, jax.Array]]:
+    """Random init with the reference's truncated-normal(0.1) / zero-bias
+    scheme (libs/vgg16.py:46-50). Used for tests and as a fallback when the
+    pretrained .npz is unavailable — perceptual losses need the pretrained
+    weights to be meaningful."""
+    params = {}
+    cin = 3
+    keys = jax.random.split(rng, 16)
+    ki = 0
+    for gi, group in enumerate(_GROUPS, start=1):
+        cout = _CHANNELS[gi]
+        for name in group:
+            w = jax.random.truncated_normal(keys[ki % 16], -2, 2, (3, 3, cin, cout)) * 0.1
+            params[name] = {"W": w.astype(jnp.float32), "b": jnp.zeros((cout,), jnp.float32)}
+            cin = cout
+            ki += 1
+    return params

@@ -1,0 +1,48 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual XLA devices so multi-chip sharding paths
+(shard_map over a Mesh) are exercised without TPU hardware — the standard
+JAX trick (SURVEY.md §4). Env vars must be set before jax is imported.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The host environment pins JAX_PLATFORMS to the TPU plugin, which overrides
+# the env var — jax.config is the only reliable way to force CPU for tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ASSETS = Path(__file__).parent / "assets"
+WEIGHTS = Path(__file__).parent.parent / "weights"
+
+
+@pytest.fixture(scope="session")
+def chicago_crop256():
+    from faststyle_tpu.utils import image_io
+
+    return image_io.imread(ASSETS / "chicago_crop256.png")
+
+
+@pytest.fixture(scope="session")
+def starry_params():
+    from faststyle_tpu.inference import load_params
+
+    return load_params(WEIGHTS / "starry_final.npz")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

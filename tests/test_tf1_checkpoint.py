@@ -1,0 +1,62 @@
+"""Tests for the standalone TF1 tensor_bundle reader (compat layer)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from faststyle_tpu.compat import tf1_checkpoint
+
+REF_CKPT = Path("/root/reference/models/starry_final.ckpt")
+
+pytestmark = pytest.mark.skipif(
+    not REF_CKPT.with_name("starry_final.ckpt.index").exists(),
+    reason="reference checkpoints not mounted",
+)
+
+
+def test_variable_inventory():
+    params = tf1_checkpoint.load_transform_net_params(REF_CKPT)
+    blocks = sorted(params)
+    assert blocks == (
+        [f"initconv_{i}" for i in range(3)]
+        + [f"resblock_{i}" for i in range(5)]
+        + [f"upsample_{i}" for i in range(3)]
+    )
+    assert params["initconv_0"]["W"].shape == (9, 9, 3, 16)
+    assert params["resblock_3"]["W2"].shape == (3, 3, 64, 64)
+    assert params["upsample_2"]["W"].shape == (9, 9, 16, 3)
+    for blk in params.values():
+        for arr in blk.values():
+            assert arr.dtype == np.float32
+
+
+def test_matches_converted_npz():
+    """The shipped-in-repo .npz conversions must be bit-identical to a fresh
+    parse of the reference checkpoints."""
+    from faststyle_tpu.inference import load_params
+
+    fresh = tf1_checkpoint.load_transform_net_params(REF_CKPT)
+    converted = load_params(Path(__file__).parent.parent / "weights" / "starry_final.npz")
+    for blk in fresh:
+        for var in fresh[blk]:
+            np.testing.assert_array_equal(fresh[blk][var], converted[blk][var])
+
+
+def test_matches_tensorflow_reader():
+    tf = pytest.importorskip("tensorflow")
+    mine = tf1_checkpoint.load_checkpoint(REF_CKPT)
+    reader = tf.train.load_checkpoint(str(REF_CKPT))
+    names = set(reader.get_variable_to_shape_map())
+    assert names == set(mine)
+    for name in names:
+        np.testing.assert_array_equal(mine[name], reader.get_tensor(name))
+
+
+def test_snappy_roundtrip_via_reference_impl():
+    """Exercise the snappy decompressor against python-snappy if present,
+    else against a hand-built compressed stream."""
+    # hand-built: literal 'abcd' + copy(offset=4, len=8) -> 'abcdabcdabcd'
+    data = bytes([12]) + bytes([(4 - 1) << 2]) + b"abcd" + bytes([((8 - 4) << 2) | 1, 4])
+    out = tf1_checkpoint._snappy_decompress(data)
+    assert out == b"abcdabcdabcd"

@@ -1,0 +1,87 @@
+"""Transform-net spec tests: shape law, param inventory, golden parity.
+
+Golden oracles are lossless PNGs of a faithful TF re-run of the reference
+architecture with the shipped checkpoints (tests/assets/*_tf_oracle.png).
+The shipped 2017 JPEGs in the reference's results/ score only ~0.86 SSIM
+against even an exact TF re-run (generation-era encoder differences), so the
+oracle re-run is the meaningful >=0.99 parity target (BASELINE.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faststyle_tpu.inference import load_params
+from faststyle_tpu.models import transform_net
+from faststyle_tpu.utils import image_io
+from faststyle_tpu.utils.metrics import ssim
+
+from conftest import ASSETS, WEIGHTS
+
+
+@pytest.mark.parametrize("hw", [(64, 64), (64, 96), (66, 70)])
+def test_shape_law(hw):
+    """Output spatial size: 4*ceil(ceil((H+80)/2)/2) - 80 == H for H % 4 == 0;
+    the pad-40 / VALID-resblock bookkeeping (SURVEY.md §2.3 step 5)."""
+    h, w = hw
+    params = transform_net.init_params(jax.random.PRNGKey(0))
+    out = transform_net.apply(params, jnp.zeros((1, h, w, 3), jnp.float32))
+
+    def law(d):
+        return 4 * (-(-(-(-(d + 80) // 2)) // 2)) - 80
+
+    assert out.shape == (1, law(h), law(w), 3)
+    if h % 4 == 0 and w % 4 == 0:
+        assert out.shape[1:3] == (h, w)
+
+
+def test_param_count_matches_checkpoint(starry_params):
+    """~424K params — cross-checked against the 1,696,408-byte reference
+    checkpoint data file (424,102 float32 = 1,696,408 B)."""
+    n = transform_net.num_params(starry_params)
+    assert n == 1_696_408 // 4
+
+
+def test_init_params_shapes_match_checkpoint(starry_params):
+    fresh = transform_net.init_params(jax.random.PRNGKey(0), "resize")
+    ref_shapes = {f"{b}/{v}": a.shape for b, s in starry_params.items() for v, a in s.items()}
+    new_shapes = {f"{b}/{v}": tuple(a.shape) for b, s in fresh.items() for v, a in s.items()}
+    assert new_shapes == {k: tuple(v) for k, v in ref_shapes.items()}
+
+
+def test_output_range(starry_params, chicago_crop256):
+    x = jnp.asarray(chicago_crop256, jnp.float32)[None]
+    out = np.asarray(transform_net.apply(starry_params, x))
+    assert out.min() >= 0.0 and out.max() <= 255.0
+
+
+@pytest.mark.parametrize("model", ["starry", "candy"])
+def test_golden_parity_crop256(model, chicago_crop256):
+    params = load_params(WEIGHTS / f"{model}_final.npz")
+    golden = image_io.imread(ASSETS / f"{model}_crop256_tf_oracle.png")
+    x = jnp.asarray(chicago_crop256, jnp.float32)[None]
+    out = np.asarray(transform_net.apply(params, x))[0]
+    score = ssim(np.clip(out, 0, 255), golden)
+    assert score >= 0.99, f"SSIM {score}"
+
+
+def test_fused_vs_reference_upsample_full_net(starry_params, chicago_crop256):
+    x = jnp.asarray(chicago_crop256, jnp.float32)[None]
+    fused = np.asarray(transform_net.apply(starry_params, x, fused_upsample=True))
+    ref = np.asarray(transform_net.apply(starry_params, x, fused_upsample=False))
+    assert ssim(fused[0], ref[0]) >= 0.999
+
+
+def test_bfloat16_compute_keeps_parity(starry_params, chicago_crop256):
+    """bf16 conv stack must stay visually identical (the perf-path precision)."""
+    x = jnp.asarray(chicago_crop256, jnp.float32)[None]
+    f32 = np.asarray(transform_net.apply(starry_params, x))
+    bf16 = np.asarray(transform_net.apply(starry_params, x, compute_dtype=jnp.bfloat16))
+    assert ssim(f32[0], bf16[0]) >= 0.98
+
+
+def test_deconv_variant_runs():
+    params = transform_net.init_params(jax.random.PRNGKey(1), "deconv")
+    out = transform_net.apply(params, jnp.zeros((1, 32, 32, 3)), upsample_method="deconv")
+    assert out.shape == (1, 32, 32, 3)
