@@ -1,0 +1,56 @@
+"""Native (C++) acceleration library, loaded via ctypes.
+
+Builds lazily with `make` on first use (g++ is part of the toolchain); every
+caller has a pure-Python fallback, so absence of a compiler degrades
+performance, not functionality.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+_DIR = Path(__file__).parent
+_LIB_PATH = _DIR / "libfaststyle_native.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Return the native library, building it if needed; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not _LIB_PATH.exists():
+                subprocess.run(
+                    ["make", "-s"], cwd=_DIR, check=True, capture_output=True, timeout=120
+                )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.fs_masked_crc32c.restype = ctypes.c_uint32
+            lib.fs_masked_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+            lib.fs_scan_records.restype = ctypes.c_long
+            lib.fs_scan_records.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long,
+                ctypes.c_int,
+            ]
+            lib.fs_frame_record.restype = None
+            lib.fs_frame_record.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_char_p,
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib

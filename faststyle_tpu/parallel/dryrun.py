@@ -1,0 +1,61 @@
+"""Multi-chip dry run: compile + execute the full DP training step and the
+batch-sharded inference path on an n-device mesh with tiny shapes.
+
+Invoked by the driver via __graft_entry__.dryrun_multichip(n) on virtual CPU
+devices; also usable on a real TPU slice.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faststyle_tpu.models import transform_net, vgg16
+from faststyle_tpu.parallel import data_parallel
+from faststyle_tpu.parallel.mesh import data_mesh
+from faststyle_tpu.training import slow_style
+from faststyle_tpu.training.train_step import TrainConfig, init_state
+
+
+def run(n_devices: int) -> None:
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devices)} "
+            "(set --xla_force_host_platform_device_count)"
+        )
+    mesh = data_mesh(devices[:n_devices])
+
+    # tiny but real: full train step (transform net + VGG + losses + psum + adam)
+    config = TrainConfig.make(learn_rate=1e-3, beta=1e-4)
+    rng = jax.random.PRNGKey(0)
+    vgg_params = vgg16.init_params(rng)
+    state = init_state(rng, config)
+
+    size = 32  # multiple of 4; VGG tower handles it down to pool5
+    style = np.random.default_rng(0).uniform(0, 255, (1, size, size, 3)).astype(np.float32)
+    style_layers = tuple(dict(config.style_weights))
+    target_grams = slow_style.style_target_grams(vgg_params, style, style_layers)
+
+    step_fn = data_parallel.make_dp_train_step(vgg_params, target_grams, config, mesh)
+    batch = np.random.default_rng(1).uniform(
+        0, 255, (2 * n_devices, size, size, 3)
+    ).astype(np.float32)
+    from faststyle_tpu.parallel.mesh import batch_sharding
+
+    batch_dev = jax.device_put(batch, batch_sharding(mesh))
+    state, metrics = step_fn(state, batch_dev)
+    jax.block_until_ready(state.params)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+
+    # batch-sharded inference across the mesh
+    stylizer = data_parallel.ShardedStylizer(state.params, mesh)
+    out = stylizer.stylize_batch(batch[: n_devices + 1])  # non-divisible batch too
+    assert out.shape == (n_devices + 1, size, size, 3), out.shape
+    assert np.isfinite(out).all()
+    print(
+        f"[dryrun] {n_devices}-device mesh OK: train loss {loss:.4f}, "
+        f"sharded inference {out.shape}"
+    )

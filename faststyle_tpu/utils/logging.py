@@ -1,0 +1,67 @@
+"""Metrics logging / observability.
+
+The reference writes four TensorBoard scalars every 10 steps plus stdout
+prints (train.py:185-189, 226-228, 263-272). Here: a CSV metrics stream (one
+row per log call, columns grow from the metric dict), stdout mirroring, and
+steps/sec — TensorBoard-free observability that any plotting stack can read.
+Includes the reference's auto-unique run naming (`<model_name>N`,
+train.py:209-217).
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+
+def unique_run_name(base_dir: str | Path, model_name: str) -> str:
+    base = Path(base_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    existing = {p.name for p in base.iterdir() if p.is_dir()}
+    count = 0
+    name = f"{model_name}0"
+    while name in existing:
+        count += 1
+        name = f"{model_name}{count}"
+    return name
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str | Path, run_name: str, *, echo: bool = True):
+        self._dir = Path(log_dir) / run_name
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._path = self._dir / "metrics.csv"
+        self._file = open(self._path, "a", newline="")
+        self._writer: Optional[csv.DictWriter] = None
+        self._echo = echo
+        self._last_step: Optional[int] = None
+        self._last_time: Optional[float] = None
+
+    @property
+    def directory(self) -> Path:
+        return self._dir
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        now = time.perf_counter()
+        row = {"step": step, "wall_time": time.time()}
+        row.update({k: float(v) for k, v in metrics.items()})
+        if self._last_step is not None and step > self._last_step:
+            row["steps_per_sec"] = (step - self._last_step) / (now - self._last_time)
+        self._last_step, self._last_time = step, now
+        if self._writer is None:
+            fields = list(row.keys())
+            if "steps_per_sec" not in fields:
+                fields.append("steps_per_sec")
+            self._writer = csv.DictWriter(self._file, fieldnames=fields, extrasaction="ignore")
+            if self._file.tell() == 0:
+                self._writer.writeheader()
+        self._writer.writerow(row)
+        self._file.flush()
+        if self._echo:
+            parts = " ".join(f"{k}={v:.5g}" for k, v in row.items() if k not in ("wall_time",))
+            print(f"[train] {parts}")
+
+    def close(self) -> None:
+        self._file.close()

@@ -1,0 +1,106 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh (SURVEY.md §4):
+DP train step == single-device step on the concatenated batch; sharded
+inference == single-device inference; dryrun entry point."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faststyle_tpu.models import transform_net, vgg16
+from faststyle_tpu.parallel import data_parallel, mesh as mesh_lib
+from faststyle_tpu.training import slow_style
+from faststyle_tpu.training.train_step import (
+    TrainConfig,
+    init_state,
+    make_jitted_train_step,
+)
+
+SIZE = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    vgg_params = vgg16.init_params(jax.random.PRNGKey(0))
+    config = TrainConfig.make(
+        content_layers=("conv2_2",),
+        content_weights=(1.0,),
+        style_layers=("conv1_2",),
+        style_weights=(5.0,),
+        beta=1e-6,
+        learn_rate=1e-3,
+    )
+    style = rng.uniform(0, 255, (1, SIZE, SIZE, 3)).astype(np.float32)
+    grams = slow_style.style_target_grams(vgg_params, style, ("conv1_2",))
+    return vgg_params, config, grams
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual CPU devices"
+
+
+def test_dp_train_step_matches_single_device(setup):
+    vgg_params, config, grams = setup
+    mesh = mesh_lib.data_mesh()
+    n_dev = mesh.devices.size
+
+    batch = np.random.default_rng(1).uniform(0, 255, (n_dev, SIZE, SIZE, 3)).astype(np.float32)
+
+    single = make_jitted_train_step(vgg_params, grams, config)
+    state_s = init_state(jax.random.PRNGKey(7), config)
+    state_s, metrics_s = single(state_s, jnp.asarray(batch))
+
+    dp = data_parallel.make_dp_train_step(vgg_params, grams, config, mesh)
+    state_d = init_state(jax.random.PRNGKey(7), config)
+    batch_dev = jax.device_put(batch, mesh_lib.batch_sharding(mesh))
+    state_d, metrics_d = dp(state_d, batch_dev)
+
+    np.testing.assert_allclose(
+        float(metrics_s["loss"]), float(metrics_d["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(state_s.params), jax.tree.leaves(state_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_dp_multiple_steps_stay_in_sync(setup):
+    vgg_params, config, grams = setup
+    mesh = mesh_lib.data_mesh()
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(2)
+
+    single = make_jitted_train_step(vgg_params, grams, config)
+    dp = data_parallel.make_dp_train_step(vgg_params, grams, config, mesh)
+    state_s = init_state(jax.random.PRNGKey(3), config)
+    state_d = init_state(jax.random.PRNGKey(3), config)
+    for _ in range(3):
+        batch = rng.uniform(0, 255, (n_dev, SIZE, SIZE, 3)).astype(np.float32)
+        state_s, _ = single(state_s, jnp.asarray(batch))
+        state_d, _ = dp(state_d, jax.device_put(batch, mesh_lib.batch_sharding(mesh)))
+    # accumulation order differs (psum of partials vs one global sum); Adam
+    # amplifies ~ulp differences on near-zero params over steps — bound abs drift
+    for a, b in zip(jax.tree.leaves(state_s.params), jax.tree.leaves(state_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2, atol=2e-3)
+
+
+def test_sharded_stylizer_matches_single_device(starry_params):
+    mesh = mesh_lib.data_mesh()
+    rng = np.random.default_rng(0)
+    batch = rng.uniform(0, 255, (8, SIZE, SIZE, 3)).astype(np.float32)
+    sharded = data_parallel.ShardedStylizer(starry_params, mesh)
+    out_sharded = sharded.stylize_batch(batch)
+    out_single = np.asarray(transform_net.apply(starry_params, jnp.asarray(batch)))
+    np.testing.assert_allclose(out_sharded, out_single, rtol=1e-4, atol=1e-2)
+
+
+def test_sharded_stylizer_pads_non_divisible_batches(starry_params):
+    mesh = mesh_lib.data_mesh()
+    batch = np.random.default_rng(0).uniform(0, 255, (5, SIZE, SIZE, 3)).astype(np.float32)
+    out = data_parallel.ShardedStylizer(starry_params, mesh).stylize_batch(batch)
+    assert out.shape == (5, SIZE, SIZE, 3)
+
+
+def test_graft_dryrun():
+    from faststyle_tpu.parallel import dryrun
+
+    dryrun.run(8)

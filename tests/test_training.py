@@ -1,0 +1,179 @@
+"""Training tests: loss decreases, checkpoint round-trip/resume, slow_style,
+end-to-end loop on synthetic data (random VGG — math, not aesthetics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faststyle_tpu.models import vgg16
+from faststyle_tpu.training import checkpoint as ckpt_lib
+from faststyle_tpu.training import slow_style
+from faststyle_tpu.training.train_step import (
+    TrainConfig,
+    init_state,
+    make_jitted_train_step,
+)
+
+SIZE = 32
+
+
+@pytest.fixture(scope="module")
+def vgg_params():
+    return vgg16.init_params(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def small_config():
+    return TrainConfig.make(
+        content_layers=("conv2_2",),
+        content_weights=(1.0,),
+        style_layers=("conv1_2", "conv2_2"),
+        style_weights=(5.0, 5.0),
+        beta=1e-6,
+        learn_rate=1e-3,
+    )
+
+
+@pytest.fixture(scope="module")
+def target_grams(vgg_params, small_config):
+    rng = np.random.default_rng(0)
+    style = rng.uniform(0, 255, (1, SIZE, SIZE, 3)).astype(np.float32)
+    return slow_style.style_target_grams(
+        vgg_params, style, tuple(dict(small_config.style_weights))
+    )
+
+
+def test_train_step_decreases_loss(vgg_params, small_config, target_grams):
+    step_fn = make_jitted_train_step(vgg_params, target_grams, small_config)
+    state = init_state(jax.random.PRNGKey(1), small_config)
+    rng = np.random.default_rng(1)
+    batch = rng.uniform(0, 255, (2, SIZE, SIZE, 3)).astype(np.float32)
+    losses = []
+    for _ in range(12):
+        state, metrics = step_fn(state, jnp.asarray(batch))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 12
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_metrics_decomposition(vgg_params, small_config, target_grams):
+    step_fn = make_jitted_train_step(vgg_params, target_grams, small_config)
+    state = init_state(jax.random.PRNGKey(1), small_config)
+    batch = np.random.default_rng(0).uniform(0, 255, (1, SIZE, SIZE, 3)).astype(np.float32)
+    _, m = step_fn(state, jnp.asarray(batch))
+    np.testing.assert_allclose(
+        float(m["loss"]),
+        float(m["content_loss"]) + float(m["style_loss"]) + float(m["tv_loss"]),
+        rtol=1e-5,
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, small_config):
+    state = init_state(jax.random.PRNGKey(2), small_config)
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+    ckpt_lib.save(tmp_path, state)
+    template = init_state(jax.random.PRNGKey(3), small_config)
+    restored = ckpt_lib.restore_latest(tmp_path, template)
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_retention(tmp_path, small_config):
+    state = init_state(jax.random.PRNGKey(2), small_config)
+    for s in range(8):
+        ckpt_lib.save(tmp_path, state._replace(step=jnp.asarray(s, jnp.int32)), keep=3)
+    assert sorted(ckpt_lib.all_steps(tmp_path)) == [5, 6, 7]
+
+
+def test_slow_style_decreases_loss(vgg_params):
+    rng = np.random.default_rng(0)
+    content = rng.uniform(0, 255, (SIZE, SIZE, 3)).astype(np.float32)
+    style = rng.uniform(0, 255, (SIZE, SIZE, 3)).astype(np.float32)
+    losses_seen = []
+    out = slow_style.optimize(
+        vgg_params,
+        content,
+        style[None],
+        content_weights={"conv2_2": 1.0},
+        style_weights={"conv1_2": 5.0},
+        beta=1e-4,
+        learn_rate=1e1,
+        num_steps=40,
+        log_every=10,
+        log_fn=lambda step, loss: losses_seen.append(loss),
+    )
+    assert out.shape == (SIZE, SIZE, 3)
+    assert losses_seen[-1] < losses_seen[0]
+    assert np.isfinite(out).all()
+
+
+def test_train_loop_end_to_end(tmp_path, vgg_params, small_config):
+    """Full loop: pipeline batches -> steps -> ckpt -> final npz -> resume."""
+    from faststyle_tpu.training import loop
+    from faststyle_tpu.utils.logging import MetricsLogger
+
+    rng = np.random.default_rng(0)
+    style = rng.uniform(0, 255, (SIZE, SIZE, 3)).astype(np.float32)
+    batches = [rng.uniform(0, 255, (2, SIZE, SIZE, 3)).astype(np.float32) for _ in range(6)]
+
+    logger = MetricsLogger(tmp_path / "summaries", "run0", echo=False)
+    state = loop.train(
+        vgg_params=vgg_params,
+        style_img=style,
+        batches=iter(batches),
+        config=small_config,
+        model_name="tiny",
+        num_steps_ckpt=4,
+        log_every=2,
+        train_root=tmp_path / "training",
+        models_root=tmp_path / "models",
+        summaries_root=tmp_path / "summaries",
+        logger=logger,
+    )
+    assert int(state.step) == 6
+    assert (tmp_path / "models" / "tiny_final.npz").exists()
+    assert ckpt_lib.all_steps(tmp_path / "training" / "tiny") == [4]
+    assert (tmp_path / "summaries" / "run0" / "metrics.csv").read_text().count("\n") >= 3
+
+    # resume picks up from the checkpoint
+    logger2 = MetricsLogger(tmp_path / "summaries", "run1", echo=False)
+    state2 = loop.train(
+        vgg_params=vgg_params,
+        style_img=style,
+        batches=iter(batches[:2]),
+        config=small_config,
+        model_name="tiny",
+        train_root=tmp_path / "training",
+        models_root=tmp_path / "models",
+        summaries_root=tmp_path / "summaries",
+        resume=True,
+        logger=logger2,
+    )
+    assert int(state2.step) == 6  # 4 (restored) + 2
+
+
+def test_final_npz_loads_into_stylizer(tmp_path, vgg_params, small_config):
+    from faststyle_tpu.inference import Stylizer
+    from faststyle_tpu.training import loop
+    from faststyle_tpu.utils.logging import MetricsLogger
+
+    rng = np.random.default_rng(0)
+    style = rng.uniform(0, 255, (SIZE, SIZE, 3)).astype(np.float32)
+    loop.train(
+        vgg_params=vgg_params,
+        style_img=style,
+        batches=iter([rng.uniform(0, 255, (1, SIZE, SIZE, 3)).astype(np.float32)]),
+        config=small_config,
+        model_name="mini",
+        train_root=tmp_path / "training",
+        models_root=tmp_path / "models",
+        summaries_root=tmp_path / "summaries",
+        logger=MetricsLogger(tmp_path / "summaries", "x", echo=False),
+    )
+    s = Stylizer(model_path=tmp_path / "models" / "mini_final.npz")
+    out = s(rng.uniform(0, 255, (SIZE, SIZE, 3)).astype(np.float32))
+    assert out.shape == (SIZE, SIZE, 3)
+    assert out.dtype == np.uint8
