@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from faststyle_tpu.ops import layers as L
+from faststyle_tpu.ops import packed as PK
 
 Params = Dict[str, Dict[str, Any]]
 
@@ -95,6 +96,13 @@ def _in_relu(x, blk):  # conv already applied
     return L.relu(L.instance_norm(x, blk["INscale"], blk["INshift"]))
 
 
+def packed_layout_supported(h: int, w: int, upsample_method: str = "resize") -> bool:
+    """The packed fast path covers the 'resize' net on inputs whose sides are
+    multiples of 8 (keeps every stage's packing exactly divisible). Covers
+    all the headline shapes: 256 train crops, 512px, 800x600, 1080p."""
+    return upsample_method == "resize" and h % 8 == 0 and w % 8 == 0
+
+
 def apply(
     params: Params,
     x: jax.Array,
@@ -102,16 +110,25 @@ def apply(
     *,
     fused_upsample: bool = True,
     compute_dtype=None,
+    layout: str = "auto",
 ) -> jax.Array:
     """Forward pass. `x`: NHWC, RGB in [0,255]; returns same shape in [0,255].
 
+    `layout`: 'auto' picks the packed (space-to-depth) MXU fast path when the
+    shape supports it (see packed_layout_supported) and falls back to the
+    naive NHWC path otherwise; 'packed'/'naive' force a path.
     `fused_upsample` selects the phase-decomposed exact rewrite of the
-    resize-convolution (ops.layers.upsample_conv); False runs the literal
-    resize-then-conv formulation for cross-checking.
+    resize-convolution (ops.layers.upsample_conv) on the naive path; False
+    runs the literal resize-then-conv formulation for cross-checking.
     `compute_dtype` (e.g. jnp.bfloat16) casts activations for the conv stack;
     instance-norm statistics and the final tanh always run in float32.
     """
     assert upsample_method in UPSAMPLE_METHODS
+    assert layout in ("auto", "packed", "naive")
+    if layout == "packed" or (
+        layout == "auto" and packed_layout_supported(x.shape[1], x.shape[2], upsample_method)
+    ):
+        return apply_packed(params, x, compute_dtype=compute_dtype)
     orig_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -147,6 +164,92 @@ def apply(
         h = L.conv2d(h, blk["W"], stride=1, padding="SAME")
     h = L.scaled_tanh(L.instance_norm(h, blk["INscale"], blk["INshift"]))
     return h.astype(orig_dtype)
+
+
+# packed-grid geometries (shape-independent); see ops.packed.axis_geom
+_G_INIT0 = PK.axis_geom(p_in=4, p_out=4, stride=1, k=9, pad_lo=4)  # SAME pad 4
+_G_INIT1 = PK.axis_geom(4, 2, 2, 3, 0)  # SAME s2 on even input pads (0,1)
+_G_INIT2 = PK.axis_geom(2, 2, 2, 3, 0)
+_G_RES = PK.axis_geom(2, 2, 1, 3, 0)  # VALID
+_G_UP = PK.axis_geom(2, 2, 1, 2, 0)  # fused-upsample phase conv (zero hi tap)
+_G_FINAL = PK.axis_geom(4, 4, 1, 9, 4)
+
+
+def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Array:
+    """Space-to-depth execution of the 'resize' net: one pack at the input,
+    one repack mid-upsampling, one unpack at the output; every conv runs on a
+    packed grid with 48..512-wide channel dims (see ops.packed). Exact
+    relayout of `apply` — same dot products, MXU-friendly shapes.
+
+    Layout walk (input [N,H,W,3], H,W % 8 == 0, Hp=H+80):
+      pack p=4               [Hp/4, Wp/4, 48]
+      initconv_0 (q=3)       [Hp/4, Wp/4, 256]   full-res p=4, c=16
+      initconv_1 (q=2)       [Hp/4, Wp/4, 128]   half-res p=2, c=32
+      initconv_2 (q=3, t=2)  [Hp/8, Wp/8, 256]   quarter-res p=2, c=64
+      5 x resblock (q=2)     shrink 1 packed px/conv (== 2 full px, exact)
+      upsample_0 (q=2)       half'-res p=4, c=32 (phase-permuted kernel)
+      repack p4 -> p2        half'-res p=2
+      upsample_1 (q=2)       full'-res p=4, c=16
+      upsample_2 (q=3)       full'-res p=4, c=3 -> unpack == [N,H,W,3]
+    """
+    orig_dtype = x.dtype
+    n, h, w, _ = x.shape
+    assert h % 8 == 0 and w % 8 == 0, "packed layout needs H, W % 8 == 0"
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+
+    def in_relu_packed(t, blk, p, c, sfx=""):
+        t = PK.instance_norm_packed(t, blk["INscale" + sfx], blk["INshift" + sfx], p)
+        return L.relu(t)
+
+    hp, wp = h + 80, w + 80
+    z = L.reflect_pad(x, 40)
+    z = PK.pack_nhwc(z, 4)  # [hp/4, wp/4, 48]
+
+    blk = params["initconv_0"]
+    k0 = PK.pack_kernel(blk["W"].astype(z.dtype), _G_INIT0, _G_INIT0)
+    z = PK.conv2d_packed(z, k0, _G_INIT0, _G_INIT0, (hp // 4, wp // 4))
+    z = in_relu_packed(z, blk, 4, 16)
+
+    blk = params["initconv_1"]
+    k1 = PK.pack_kernel(blk["W"].astype(z.dtype), _G_INIT1, _G_INIT1)
+    z = PK.conv2d_packed(z, k1, _G_INIT1, _G_INIT1, (hp // 4, wp // 4))  # half p=2
+    z = in_relu_packed(z, blk, 2, 32)
+
+    blk = params["initconv_2"]
+    k2 = PK.pack_kernel(blk["W"].astype(z.dtype), _G_INIT2, _G_INIT2)
+    z = PK.conv2d_packed(z, k2, _G_INIT2, _G_INIT2, (hp // 8, wp // 8))  # quarter p=2
+    z = in_relu_packed(z, blk, 2, 64)
+
+    for i in range(_NUM_RESBLOCKS):
+        blk = params[f"resblock_{i}"]
+        kw1 = PK.pack_kernel(blk["W1"].astype(z.dtype), _G_RES, _G_RES)
+        r = PK.conv2d_packed(z, kw1, _G_RES, _G_RES, (z.shape[1] - 1, z.shape[2] - 1))
+        r = in_relu_packed(r, blk, 2, 64, "1")
+        kw2 = PK.pack_kernel(blk["W2"].astype(z.dtype), _G_RES, _G_RES)
+        r = PK.conv2d_packed(r, kw2, _G_RES, _G_RES, (r.shape[1] - 1, r.shape[2] - 1))
+        r = PK.instance_norm_packed(r, blk["INscale2"], blk["INshift2"], 2)
+        # crop 1 packed px/side == the 2 full-res px crop of the skip
+        z = r + z[:, 1:-1, 1:-1, :]
+
+    for i, c_out in ((0, 32), (1, 16)):
+        blk = params[f"upsample_{i}"]
+        phase = L.upsample_phase_kernel(blk["W"]).astype(z.dtype)  # [2,2,cin,4*cout]
+        ku = PK.pack_kernel(phase, _G_UP, _G_UP)
+        ku = PK.permute_upsample_out(ku, p_out=2, phase=2, c_real=c_out)
+        z = PK.conv2d_packed(z, ku, _G_UP, _G_UP, (z.shape[1], z.shape[2]))  # finer p=4
+        z = in_relu_packed(z, blk, 4, c_out)
+        if i == 0:
+            z = PK.repack(z, 4, 2, c_out)
+
+    blk = params["upsample_2"]
+    kf = PK.pack_kernel(blk["W"].astype(z.dtype), _G_FINAL, _G_FINAL)
+    z = PK.conv2d_packed(z, kf, _G_FINAL, _G_FINAL, (z.shape[1], z.shape[2]))
+    z = PK.instance_norm_packed(z, blk["INscale"], blk["INshift"], 4)
+    z = L.scaled_tanh(z)
+    out = PK.unpack_nhwc(z, 4, 3)
+    assert out.shape == (n, h, w, 3), out.shape
+    return out.astype(orig_dtype)
 
 
 def num_params(params: Params) -> int:

@@ -131,6 +131,26 @@ def upsample_conv_reference(x: jax.Array, w: jax.Array) -> jax.Array:
     return conv2d(up, w, stride=2, padding="SAME")
 
 
+def upsample_phase_kernel(w: jax.Array) -> jax.Array:
+    """3x3 HWIO kernel -> the 2-tap phase kernel [2,2,cin,4*cout] of the fused
+    resize-convolution (see upsample_conv); phase order (hy,hx) row-major.
+
+    Per axis: even output phase taps (w0+w1+w2, 0); odd phase taps (w0+w1, w2)
+    — with a zero tap at x[H] (the SAME hi-pad of the reference formulation).
+    """
+    assert w.shape[0] == 3 and w.shape[1] == 3, "specialized for the net's 3x3 upsample convs"
+    w = w.astype(jnp.float32)
+    even_h = jnp.stack([w[0] + w[1] + w[2], jnp.zeros_like(w[0])], axis=0)  # [2,kw,ci,co]
+    odd_h = jnp.stack([w[0] + w[1], w[2]], axis=0)
+    phases = []
+    for ph_h in (even_h, odd_h):
+        even_w = jnp.stack([ph_h[:, 0] + ph_h[:, 1] + ph_h[:, 2], jnp.zeros_like(ph_h[:, 0])], axis=1)
+        odd_w = jnp.stack([ph_h[:, 0] + ph_h[:, 1], ph_h[:, 2]], axis=1)
+        phases.append(even_w)
+        phases.append(odd_w)
+    return jnp.concatenate(phases, axis=-1)
+
+
 def upsample_conv(x: jax.Array, w: jax.Array) -> jax.Array:
     """Fused resize-convolution: exact phase decomposition of
     `upsample_conv_reference`, with 4x fewer FLOPs and no 16x intermediate.
@@ -147,21 +167,7 @@ def upsample_conv(x: jax.Array, w: jax.Array) -> jax.Array:
     than the reference's thin 3x3 at 4x resolution.
     """
     kh, kw, cin, cout = w.shape
-    assert kh == 3 and kw == 3, "fused path specialized for the net's 3x3 upsample convs"
-    # per-axis tap weights for (even, odd) output phases, packed as a 2-tap axis
-    # even phase: taps (w0+w1+w2, 0); odd phase: taps (w0+w1, w2)
-    w = w.astype(jnp.float32)
-    even_h = jnp.stack([w[0] + w[1] + w[2], jnp.zeros_like(w[0])], axis=0)  # [2,kw,ci,co]
-    odd_h = jnp.stack([w[0] + w[1], w[2]], axis=0)
-    phases = []
-    for ph_h in (even_h, odd_h):
-        even_w = jnp.stack([ph_h[:, 0] + ph_h[:, 1] + ph_h[:, 2], jnp.zeros_like(ph_h[:, 0])], axis=1)
-        odd_w = jnp.stack([ph_h[:, 0] + ph_h[:, 1], ph_h[:, 2]], axis=1)
-        phases.append(even_w)
-        phases.append(odd_w)
-    # [2,2,cin,4*cout]: phase order (hy, hx) = (0,0),(0,1),(1,0),(1,1)
-    w_packed = jnp.concatenate(phases, axis=-1)
-
+    w_packed = upsample_phase_kernel(w)
     n, h, width, _ = x.shape
     xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))  # zero tap at x[H] / x[W]
     y = conv2d(xp, w_packed, stride=1, padding="VALID")  # [n,h,w,4*cout]
