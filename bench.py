@@ -98,6 +98,10 @@ def main():
     parser.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"])
     args = parser.parse_args()
 
+    from faststyle_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     frames = 10 if args.quick else 30
     fps_1080, fps_512 = bench_inference(frames, args.precision)
     details = {

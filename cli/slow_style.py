@@ -42,6 +42,10 @@ def setup_parser():
 def main():
     args = setup_parser().parse_args()
 
+    from faststyle_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from faststyle_tpu.models import vgg16
     from faststyle_tpu.training import slow_style
     from faststyle_tpu.utils import image_io

@@ -54,6 +54,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from faststyle_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from faststyle_tpu.inference import Stylizer
     from faststyle_tpu.utils import image_io
 

@@ -74,6 +74,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from faststyle_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from faststyle_tpu.inference import Stylizer
 
     stylizer = Stylizer(

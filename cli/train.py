@@ -83,6 +83,11 @@ def setup_parser():
         help="Shard the batch over all devices (batch_size must divide evenly).",
     )
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument(
+        "--debug_nans",
+        action="store_true",
+        help="Enable jax_debug_nans (fail fast on non-finite values).",
+    )
     return parser
 
 
@@ -91,6 +96,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    from faststyle_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from faststyle_tpu.data import pipeline
     from faststyle_tpu.models import vgg16

@@ -33,13 +33,21 @@ def load_params(model_path: str | Path) -> Dict:
         from faststyle_tpu.compat import tf1_checkpoint
 
         return tf1_checkpoint.load_transform_net_params(model_path)
-    if model_path.suffix == ".npz":
-        flat = np.load(model_path)
-        params: Dict[str, Dict[str, np.ndarray]] = {}
-        for key in flat.files:
-            blk, var = key.split("/")
-            params.setdefault(blk, {})[var] = flat[key]
-        return params
+    # reference-style command lines name `models/<x>_final.ckpt`; resolve to
+    # the native container when the TF files aren't present
+    candidates = [model_path]
+    if model_path.suffix == ".ckpt":
+        candidates.append(model_path.with_suffix(".npz"))
+    elif model_path.suffix != ".npz":
+        candidates.append(model_path.with_name(model_path.name + ".npz"))
+    for cand in candidates:
+        if cand.suffix == ".npz" and cand.exists():
+            flat = np.load(cand)
+            params: Dict[str, Dict[str, np.ndarray]] = {}
+            for key in flat.files:
+                blk, var = key.split("/")
+                params.setdefault(blk, {})[var] = flat[key]
+            return params
     raise FileNotFoundError(f"no model found at {model_path} (.index / .npz)")
 
 

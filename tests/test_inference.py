@@ -1,0 +1,66 @@
+"""Inference API: model-path resolution, Stylizer behavior, shipped assets."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from faststyle_tpu.inference import Stylizer, load_params, save_params
+
+ROOT = Path(__file__).parent.parent
+
+
+def test_reference_style_ckpt_path_resolves_to_npz(tmp_path):
+    """The reference's command lines say `models/x_final.ckpt`; when only the
+    native .npz exists, load_params must resolve it."""
+    params = load_params(ROOT / "weights" / "starry_final.npz")
+    save_params(tmp_path / "starry_final.npz", params)
+    resolved = load_params(tmp_path / "starry_final.ckpt")
+    np.testing.assert_array_equal(
+        resolved["initconv_0"]["W"], params["initconv_0"]["W"]
+    )
+
+
+def test_missing_model_raises():
+    with pytest.raises(FileNotFoundError):
+        load_params("/nonexistent/model")
+
+
+def test_shipped_assets_present():
+    """Reference-parity asset layout: models/, style_images/, weights/."""
+    for rel in [
+        "models/starry_final.npz",
+        "models/candy_final.npz",
+        "weights/starry_final.npz",
+        "style_images/starry_night_crop.jpg",
+        "style_images/candy.jpg",
+        "scripts/get_vgg16_weights.sh",
+    ]:
+        assert (ROOT / rel).exists(), rel
+
+
+def test_stylizer_uint8_roundtrip(chicago_crop256):
+    s = Stylizer(ROOT / "models" / "starry_final.npz")
+    out = s(chicago_crop256)
+    assert out.dtype == np.uint8
+    assert out.shape == chicago_crop256.shape
+
+
+def test_save_load_roundtrip(tmp_path, starry_params):
+    save_params(tmp_path / "m.npz", starry_params)
+    back = load_params(tmp_path / "m.npz")
+    for blk in starry_params:
+        for var in starry_params[blk]:
+            np.testing.assert_array_equal(back[blk][var], np.asarray(starry_params[blk][var]))
+
+
+def test_profiling_helpers_smoke():
+    import jax.numpy as jnp
+
+    from faststyle_tpu.utils import profiling
+
+    profiling.hard_sync(jnp.ones((4, 4)))
+    t = profiling.StepTimer()
+    t.start()
+    t.step()
+    assert t.rate() > 0
