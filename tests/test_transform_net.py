@@ -66,6 +66,38 @@ def test_golden_parity_crop256(model, chicago_crop256):
     assert score >= 0.99, f"SSIM {score}"
 
 
+def test_golden_parity_512_packed_path(starry_params):
+    """BASELINE config #0 shape (512px); 512 % 8 == 0 so this runs the packed
+    fast path end to end against the TF oracle."""
+    golden = image_io.imread(ASSETS / "starry_512_tf_oracle.png")
+    x = jnp.asarray(image_io.imread(ASSETS / "chicago_512.png"), jnp.float32)[None]
+    out = np.asarray(transform_net.apply(starry_params, x))[0]
+    score = ssim(np.clip(out, 0, 255), golden)
+    assert score >= 0.99, f"SSIM {score}"
+
+
+@pytest.mark.parametrize("hw", [(64, 64), (88, 96), (128, 72)])
+def test_packed_matches_naive(starry_params, hw):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (2, *hw, 3)), jnp.float32)
+    naive = np.asarray(transform_net.apply(starry_params, x, layout="naive"))
+    fast = np.asarray(transform_net.apply(starry_params, x, layout="packed"))
+    np.testing.assert_allclose(fast, naive, atol=5e-2)  # [0,255] scale
+
+
+def test_packed_path_differentiable(starry_params):
+    """Training runs the packed path: grads must flow through kernel packing."""
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
+
+    def loss(params):
+        return jnp.sum(transform_net.apply(params, x, layout="packed") ** 2)
+
+    grads = jax.grad(loss)(starry_params)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
+
+
 def test_fused_vs_reference_upsample_full_net(starry_params, chicago_crop256):
     x = jnp.asarray(chicago_crop256, jnp.float32)[None]
     fused = np.asarray(transform_net.apply(starry_params, x, fused_upsample=True))
