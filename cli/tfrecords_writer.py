@@ -18,16 +18,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def setup_parser():
     parser = argparse.ArgumentParser(description="Convert images to sharded TFRecords.")
     parser.add_argument(
-        "--train_directory", default="./train_directory/", help="Training data directory"
+        "--train_directory", default="/tmp/", help="Training data directory"
     )
     parser.add_argument(
-        "--output_directory", default="./output_directory", help="Output data directory"
+        "--output_directory", default="/tmp/", help="Output data directory"
     )
     parser.add_argument(
-        "--train_shards", default=4, type=int, help="Number of shards in training TFRecord files."
+        "--train_shards", default=2, type=int, help="Number of shards in training TFRecord files."
     )
     parser.add_argument(
-        "--num_threads", default=4, type=int, help="Number of threads to preprocess the images."
+        "--num_threads", default=2, type=int, help="Number of threads to preprocess the images."
     )
     return parser
 
