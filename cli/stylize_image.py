@@ -46,7 +46,63 @@ def setup_parser():
         choices=["float32", "bfloat16"],
         default="float32",
     )
+    parser.add_argument(
+        "--input_dir",
+        default=None,
+        help="Stylize every image in a directory instead of one file; same-size "
+        "images are batched and sharded across all available chips.",
+    )
+    parser.add_argument(
+        "--output_dir",
+        default="./results",
+        help="Output directory for --input_dir mode.",
+    )
+    parser.add_argument(
+        "--batch_size",
+        default=8,
+        type=int,
+        help="Max images per device batch in --input_dir mode.",
+    )
     return parser
+
+
+def stylize_directory(args, compute_dtype):
+    """Batch mode: group same-shaped images, shard each batch over the mesh
+    (parallel.ShardedStylizer — BASELINE config #5's batched inference)."""
+    import numpy as np
+
+    from faststyle_tpu.inference import load_params
+    from faststyle_tpu.parallel import data_parallel, mesh as mesh_lib
+    from faststyle_tpu.utils import image_io
+
+    in_dir, out_dir = Path(args.input_dir), Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    files = sorted(
+        p for p in in_dir.iterdir() if p.suffix.lower() in {".jpg", ".jpeg", ".png"}
+    )
+    if not files:
+        raise SystemExit(f"no images in {in_dir}")
+
+    params = load_params(args.model_path)
+    mesh = mesh_lib.data_mesh()
+    stylizer = data_parallel.ShardedStylizer(
+        params, mesh, upsample_method=args.upsample_method, compute_dtype=compute_dtype
+    )
+
+    by_shape = {}
+    for f in files:
+        img = image_io.imresize(image_io.imread(f), args.content_target_resize)
+        by_shape.setdefault(img.shape, []).append((f, img))
+    done = 0
+    for shape, items in by_shape.items():
+        for i in range(0, len(items), args.batch_size):
+            chunk = items[i : i + args.batch_size]
+            batch = np.stack([img for _, img in chunk]).astype(np.float32)
+            out = stylizer.stylize_batch(batch)
+            for (f, _), img_out in zip(chunk, out):
+                image_io.imwrite(out_dir / f"styled_{f.name}", img_out)
+                done += 1
+            print(f"{done}/{len(files)} done ({shape[1]}x{shape[0]})")
 
 
 def main():
@@ -61,13 +117,18 @@ def main():
     from faststyle_tpu.inference import Stylizer
     from faststyle_tpu.utils import image_io
 
+    dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
+    if args.input_dir:
+        stylize_directory(args, dtype)
+        return
+
     img = image_io.imread(args.input_img_path)
     img = image_io.imresize(img, args.content_target_resize)
 
     stylizer = Stylizer(
         model_path=args.model_path,
         upsample_method=args.upsample_method,
-        compute_dtype=jnp.bfloat16 if args.precision == "bfloat16" else None,
+        compute_dtype=dtype,
     )
     print("Evaluating...")
     out = stylizer(img)

@@ -29,7 +29,14 @@ def unique_run_name(base_dir: str | Path, model_name: str) -> str:
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str | Path, run_name: str, *, echo: bool = True):
+    def __init__(
+        self,
+        log_dir: str | Path,
+        run_name: str,
+        *,
+        echo: bool = True,
+        tensorboard: bool = True,
+    ):
         self._dir = Path(log_dir) / run_name
         self._dir.mkdir(parents=True, exist_ok=True)
         self._path = self._dir / "metrics.csv"
@@ -38,6 +45,14 @@ class MetricsLogger:
         self._echo = echo
         self._last_step: Optional[int] = None
         self._last_time: Optional[float] = None
+        self._tb = None
+        if tensorboard:
+            try:  # torch ships a TensorBoard event writer; optional dependency
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=str(self._dir))
+            except Exception:
+                self._tb = None
 
     @property
     def directory(self) -> Path:
@@ -59,9 +74,15 @@ class MetricsLogger:
                 self._writer.writeheader()
         self._writer.writerow(row)
         self._file.flush()
+        if self._tb is not None:
+            for key, val in row.items():
+                if key not in ("step", "wall_time"):
+                    self._tb.add_scalar(key, val, step)
         if self._echo:
             parts = " ".join(f"{k}={v:.5g}" for k, v in row.items() if k not in ("wall_time",))
             print(f"[train] {parts}")
 
     def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
         self._file.close()
