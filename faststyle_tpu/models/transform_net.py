@@ -195,6 +195,14 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
     orig_dtype = x.dtype
     n, h, w, _ = x.shape
     assert h % 8 == 0 and w % 8 == 0, "packed layout needs H, W % 8 == 0"
+    if n > 1:
+        # XLA schedules the packed convs markedly worse with a batch dim
+        # (measured 2.8x/frame at 1080p b=2, 1.8x at 256px b=4); sequential
+        # per-sample execution reuses the well-tiled b=1 program. Instance
+        # norm is per-sample anyway, so this changes nothing semantically.
+        return jax.lax.map(
+            lambda img: apply_packed(params, img[None], compute_dtype=compute_dtype)[0], x
+        )
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 

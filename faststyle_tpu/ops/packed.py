@@ -108,9 +108,10 @@ def pack_kernel(w_hwio: jax.Array, gh: AxisGeom, gw: AxisGeom) -> jax.Array:
     a_idx = np.clip(ah, 0, kh - 1)[:, :, :, None, None, None]
     b_idx = np.clip(aw, 0, kw - 1)[None, None, None, :, :, :]
     a_idx, b_idx = np.broadcast_arrays(a_idx, b_idx)
-    # gather -> [qh, pih, poh, qw, piw, pow, cin, cout]
-    pk = w_hwio[jnp.asarray(a_idx), jnp.asarray(b_idx)]
-    pk = jnp.where(jnp.asarray(valid)[..., None, None], pk, 0)
+    # gather -> [qh, pih, poh, qw, piw, pow, cin, cout]; indices stay static
+    # numpy so this traces as one gather with constant indices
+    pk = jnp.asarray(w_hwio)[a_idx, b_idx]
+    pk = jnp.where(valid[..., None, None], pk, 0)
     # -> [qh, qw, (ey, ex, ci), (dy, dx, co)]
     pk = pk.transpose(0, 3, 1, 4, 6, 2, 5, 7)
     qh, qw = gh.q, gw.q
