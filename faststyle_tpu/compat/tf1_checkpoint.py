@@ -22,6 +22,7 @@ import struct
 from pathlib import Path
 from typing import Dict, Iterator, Tuple
 
+import ml_dtypes
 import numpy as np
 
 _SSTABLE_MAGIC = 0xDB4775248B80FB57
@@ -37,7 +38,7 @@ _TF_DTYPES = {
     7: np.bytes_,
     9: np.int64,
     10: np.bool_,
-    14: np.dtype("bfloat16") if hasattr(np, "bfloat16") else np.uint16,
+    14: np.dtype(ml_dtypes.bfloat16),
     19: np.float16,
 }
 

@@ -18,11 +18,42 @@ per-epoch reshuffling of shard order.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, TypeVar
+
+_T = TypeVar("_T")
+_R = TypeVar("_R")
+
+
+def _bounded_map(
+    pool: ThreadPoolExecutor, fn: Callable[[_T], _R], items: Iterable[_T], depth: int
+) -> Iterator[_R]:
+    """Like Executor.map but with a bounded in-flight window.
+
+    Executor.map submits the ENTIRE iterable before yielding anything, which
+    deadlocks on infinite streams (n_epochs=None) and materializes every
+    decoded image of a finite dataset in memory. This keeps at most `depth`
+    futures outstanding and yields results in order.
+    """
+    it = iter(items)
+    window: collections.deque = collections.deque()
+    try:
+        while True:
+            while len(window) < depth:
+                try:
+                    window.append(pool.submit(fn, next(it)))
+                except StopIteration:
+                    break
+            if not window:
+                return
+            yield window.popleft().result()
+    finally:
+        for fut in window:
+            fut.cancel()
 
 import numpy as np
 
@@ -110,7 +141,7 @@ class Batcher:
             return _decode_resize(enc, self._resize)
 
         with ThreadPoolExecutor(max_workers=self._threads) as pool:
-            stream = pool.map(decode, self._record_stream(), chunksize=4)
+            stream = _bounded_map(pool, decode, self._record_stream(), depth=4 * self._threads)
             for img in stream:
                 if img is None:
                     continue
@@ -151,7 +182,9 @@ def device_prefetch(batches: Iterator[np.ndarray], *, depth: int = 2, sharding=N
         try:
             for batch in batches:
                 q.put(jax.device_put(batch, sharding))
-        finally:
+        except BaseException as e:  # surface pipeline failures to the consumer
+            q.put(e)
+        else:
             q.put(_SENTINEL)
 
     t = threading.Thread(target=feeder, daemon=True)
@@ -160,6 +193,8 @@ def device_prefetch(batches: Iterator[np.ndarray], *, depth: int = 2, sharding=N
         item = q.get()
         if item is _SENTINEL:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -89,14 +89,26 @@ def iter_records(path: Union[str, Path], *, verify: bool = False) -> Iterator[by
     buf = Path(path).read_bytes()
     lib = native.load()
     if lib is not None:
-        max_n = max(1, len(buf) // 12)
-        offsets = (ctypes.c_long * max_n)()
-        lengths = (ctypes.c_long * max_n)()
-        n = lib.fs_scan_records(buf, len(buf), offsets, lengths, max_n, int(verify))
-        if n < 0:
-            raise ValueError(f"{path}: corrupt TFRecord (crc mismatch)")
-        for i in range(n):
-            yield buf[offsets[i] : offsets[i] + lengths[i]]
+        # scan in bounded chunks: a fixed 64K-record index window instead of
+        # a len(file)-proportional allocation
+        chunk = 65536
+        offsets = (ctypes.c_long * chunk)()
+        lengths = (ctypes.c_long * chunk)()
+        base = ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p).value
+        pos = 0
+        total = len(buf)
+        while pos + 16 <= total:
+            n = lib.fs_scan_records(
+                ctypes.c_void_p(base + pos), total - pos, offsets, lengths, chunk, int(verify)
+            )
+            if n < 0:
+                raise ValueError(f"{path}: corrupt TFRecord (crc mismatch)")
+            if n == 0:
+                break
+            for i in range(n):
+                start = pos + offsets[i]
+                yield buf[start : start + lengths[i]]
+            pos += offsets[n - 1] + lengths[n - 1] + 4
         return
     pos = 0
     total = len(buf)

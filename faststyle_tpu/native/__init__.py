@@ -37,7 +37,7 @@ def load() -> Optional[ctypes.CDLL]:
             lib.fs_masked_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
             lib.fs_scan_records.restype = ctypes.c_long
             lib.fs_scan_records.argtypes = [
-                ctypes.c_char_p,
+                ctypes.c_void_p,
                 ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_long),
                 ctypes.POINTER(ctypes.c_long),

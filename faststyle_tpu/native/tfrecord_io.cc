@@ -13,11 +13,12 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 
 namespace {
 
 uint32_t kTable[8][256];
-bool table_init = false;
+std::once_flag table_once;
 
 void init_tables() {
   // CRC32C (Castagnoli) polynomial, reflected: 0x82F63B78, slice-by-8.
@@ -31,11 +32,11 @@ void init_tables() {
   for (uint32_t i = 0; i < 256; ++i)
     for (int k = 1; k < 8; ++k)
       kTable[k][i] = (kTable[k - 1][i] >> 8) ^ kTable[0][kTable[k - 1][i] & 0xFF];
-  table_init = true;
 }
 
 uint32_t crc32c(const uint8_t* data, size_t n) {
-  if (!table_init) init_tables();
+  // callers run on concurrent Python threads (writer pool releases the GIL)
+  std::call_once(table_once, init_tables);
   uint32_t crc = 0xFFFFFFFFu;
   // slice-by-8 main loop
   while (n >= 8) {

@@ -153,10 +153,21 @@ def instance_norm_packed(
     shift: jax.Array,
     p: int,
     eps: float = 1e-3,
+    *,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Instance norm with statistics per REAL channel computed in packed
     layout: the p^2 position groups fold into the (H,W) reduction. Same
-    moments as ops.layers.instance_norm (biased var, eps inside sqrt)."""
+    moments as ops.layers.instance_norm (biased var, eps inside sqrt).
+
+    `use_pallas=True` runs the ops.pallas.instance_norm kernel instead;
+    measured SLOWER than XLA's fused reduce+elementwise on v5e (1.95 vs
+    1.38 ms at 290x500x256 bf16, docs/PERF.md), so lax is the default.
+    """
+    if use_pallas:
+        from faststyle_tpu.ops.pallas.instance_norm import instance_norm_pallas
+
+        return instance_norm_pallas(x_packed, scale, shift, groups=p * p, eps=eps)
     n, hp, wp, cc = x_packed.shape
     c = cc // (p * p)
     xf = x_packed.astype(jnp.float32).reshape(n, hp, wp, p * p, c)

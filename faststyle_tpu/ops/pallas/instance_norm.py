@@ -12,9 +12,12 @@ Totals 2 reads + 1 write of the activation. Supports the packed layout
 statistics per REAL channel, exactly like instance_norm_packed.
 
 The lax implementations in ops.layers / ops.packed are the numerical oracles;
-tests run this kernel in interpret mode against them. Use on TPU via
-`use_pallas=True` knobs (auto-benchmarked; XLA's fusion is already close to
-roofline here, so selection is measurement-driven, not assumed).
+tests run this kernel in interpret mode against them. Reachable via
+`ops.packed.instance_norm_packed(..., use_pallas=True)`. NOTE: measured
+SLOWER than XLA's own reduce+elementwise fusion on v5e (1.95 vs 1.38 ms at
+290x500x256 bf16 — see docs/PERF.md), so the lax path remains the production
+default; this kernel is kept as the measured alternative and as the pattern
+for future fused variants (e.g. folding IN into a conv epilogue).
 """
 
 from __future__ import annotations

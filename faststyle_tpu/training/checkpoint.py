@@ -1,0 +1,81 @@
+"""Checkpoint / resume for training state.
+
+The reference saves full-graph TF checkpoints every `num_steps_ckpt` and a
+final weights-only checkpoint (train.py:224-225, 256-259, 286) but has no
+resume path. Here both periodic state (params + Adam state + step, via
+orbax) and the final weights-only `.npz` are first-class, and `restore_latest`
+gives real crash-resume — the framework's failure-recovery story
+(SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from faststyle_tpu.training.train_step import TrainState
+
+_STEP_RE = re.compile(r"step_(\d+)$")
+
+
+def _flatten(tree) -> dict:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def save(ckpt_dir: str | Path, state: TrainState, *, keep: int = 5) -> Path:
+    """Write `<ckpt_dir>/step_<N>/state.npz` (leaves keyed by treepath)."""
+    step = int(state.step)
+    path = Path(ckpt_dir) / f"step_{step}"
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.mkdir(parents=True, exist_ok=True)
+    np.savez(tmp / "state.npz", **_flatten(state))
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
+    # retention
+    steps = sorted(all_steps(ckpt_dir))
+    for old in steps[:-keep]:
+        shutil.rmtree(Path(ckpt_dir) / f"step_{old}", ignore_errors=True)
+    return path
+
+
+def all_steps(ckpt_dir: str | Path) -> list[int]:
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return []
+    out = []
+    for p in ckpt_dir.iterdir():
+        m = _STEP_RE.search(p.name)
+        if m and p.is_dir():
+            out.append(int(m.group(1)))
+    return out
+
+
+def restore(ckpt_dir: str | Path, step: int, template: TrainState) -> TrainState:
+    """Restore a state saved by `save`, using `template` for the tree structure."""
+    data = np.load(Path(ckpt_dir) / f"step_{step}" / "state.npz")
+    leaves_template, treedef = jax.tree_util.tree_flatten(template)
+    flat_paths = [
+        jax.tree_util.keystr(path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(template)[0]
+    ]
+    leaves = []
+    for key, tmpl in zip(flat_paths, leaves_template):
+        arr = data[key]
+        if arr.shape != np.shape(tmpl):
+            raise ValueError(f"checkpoint leaf {key} shape {arr.shape} != template {np.shape(tmpl)}")
+        leaves.append(jax.numpy.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def restore_latest(ckpt_dir: str | Path, template: TrainState) -> Optional[TrainState]:
+    steps = all_steps(ckpt_dir)
+    if not steps:
+        return None
+    return restore(ckpt_dir, max(steps), template)

@@ -1,0 +1,101 @@
+"""Training loop: style targets -> jitted step over the input pipeline.
+
+Orchestrates what the reference's train.py main() does across two sessions
+and four Session.runs per step (SURVEY.md §3.2) as: precompute target Grams
+(one jitted call), then a single jitted/shard_mapped train step consuming
+device-prefetched batches, with periodic checkpoints, CSV metrics, resume,
+and a final weights-only save.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from faststyle_tpu import inference
+from faststyle_tpu.training import checkpoint as ckpt_lib
+from faststyle_tpu.training import slow_style as targets_lib
+from faststyle_tpu.training.train_step import TrainConfig, init_state, make_jitted_train_step
+from faststyle_tpu.utils.logging import MetricsLogger
+
+
+def train(
+    *,
+    vgg_params,
+    style_img: np.ndarray,
+    batches,
+    config: TrainConfig,
+    model_name: str = "model",
+    seed: int = 0,
+    num_steps_ckpt: int = 1000,
+    num_steps_break: int = -1,
+    log_every: int = 10,
+    train_root: str | Path = "training",
+    models_root: str | Path = "models",
+    summaries_root: str | Path = "summaries/train",
+    run_name: Optional[str] = None,
+    resume: bool = False,
+    mesh=None,
+    logger: Optional[MetricsLogger] = None,
+):
+    """Run perceptual-loss training; returns the final TrainState.
+
+    `batches` is any iterator of NHWC float32 [0,255] arrays (see
+    data.pipeline). With `mesh`, the step runs data-parallel via
+    parallel.data_parallel over the mesh's 'data' axis.
+    """
+    from faststyle_tpu.utils.logging import unique_run_name
+
+    style_layers = tuple(dict(config.style_weights))
+    target_grams = targets_lib.style_target_grams(
+        vgg_params, np.asarray(style_img, np.float32)[None], style_layers
+    )
+
+    state = init_state(jax.random.PRNGKey(seed), config)
+    ckpt_dir = Path(train_root) / model_name
+    if resume:
+        restored = ckpt_lib.restore_latest(ckpt_dir, state)
+        if restored is not None:
+            state = restored
+            print(f"[train] resumed from step {int(state.step)}")
+
+    if mesh is not None:
+        from faststyle_tpu.parallel import data_parallel
+
+        step_fn = data_parallel.make_dp_train_step(vgg_params, target_grams, config, mesh)
+    else:
+        step_fn = make_jitted_train_step(vgg_params, target_grams, config)
+
+    if logger is None:
+        run = run_name or unique_run_name(summaries_root, model_name)
+        logger = MetricsLogger(summaries_root, run)
+
+    final_state = state
+    # host-side step counter: reading state.step from device every iteration
+    # would force a sync per step and stall the async dispatch pipeline
+    step = int(state.step)
+    try:
+        for batch in batches:
+            if num_steps_break >= 0 and step >= num_steps_break:
+                print("Done training.")
+                break
+            final_state, metrics = step_fn(final_state, batch)
+            step += 1
+            if step % num_steps_ckpt == 0:
+                ckpt_lib.save(ckpt_dir, jax.device_get(final_state))
+                logger.log(step, {k: float(v) for k, v in metrics.items()})
+            elif step % log_every == 0:
+                logger.log(step, {k: float(v) for k, v in metrics.items()})
+        else:
+            print("Done training (epochs exhausted).")
+    finally:
+        models_root = Path(models_root)
+        models_root.mkdir(parents=True, exist_ok=True)
+        final = jax.device_get(final_state)
+        inference.save_params(models_root / f"{model_name}_final.npz", final.params)
+        print(f"[train] final weights -> {models_root / (model_name + '_final.npz')}")
+        logger.close()
+    return final_state

@@ -155,6 +155,32 @@ def test_image_dir_batcher(tmp_path):
     assert batches[0].shape == (3, 16, 16, 3)
 
 
+def test_batcher_streams_infinite_epochs(tmp_path):
+    """n_epochs=None is an infinite stream: the pipeline must yield batches
+    without consuming the whole iterator first (regression: Executor.map
+    submits its entire iterable eagerly)."""
+    imgs = _make_images(tmp_path, n=6)
+    out = tmp_path / "records"
+    paths = writer.write_dataset(imgs, out, num_shards=2, num_threads=2)
+    b = pipeline.Batcher(paths, batch_size=2, resize_shape=(16, 16),
+                         n_epochs=None, min_after_dequeue=2)
+    it = iter(b)
+    got = [next(it) for _ in range(20)]  # > one epoch's worth
+    assert all(g.shape == (2, 16, 16, 3) for g in got)
+
+
+def test_device_prefetch_propagates_errors():
+    """A failing input pipeline must fail training, not end it 'successfully'."""
+    def bad_batches():
+        yield np.zeros((1, 4, 4, 3), np.float32)
+        raise ValueError("corrupt TFRecord")
+
+    it = pipeline.device_prefetch(bad_batches(), depth=2)
+    next(it)
+    with pytest.raises(ValueError, match="corrupt"):
+        list(it)
+
+
 def test_device_prefetch(tmp_path):
     arrs = [np.full((2, 4, 4, 3), i, np.float32) for i in range(5)]
     got = list(pipeline.device_prefetch(iter(arrs), depth=2))
