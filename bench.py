@@ -93,6 +93,36 @@ def bench_train_step(steps=20):
     return steps / (time.perf_counter() - t0)
 
 
+def bench_slow_style(steps=100):
+    """Gatys pixel-optimization steps/sec at 256px (BASELINE config #2 —
+    wall time for the 1000-step loop extrapolates as 1000/rate). Random VGG
+    weights: identical compute cost to pretrained."""
+    import jax
+    import numpy as np
+
+    from faststyle_tpu.models import vgg16
+    from faststyle_tpu.training import slow_style
+
+    vgg_params = vgg16.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    content = rng.uniform(0, 255, (256, 256, 3)).astype(np.float32)
+    style = rng.uniform(0, 255, (1, 256, 256, 3)).astype(np.float32)
+    weights = dict(content_weights={"conv3_3": 1.0},
+                   style_weights={"conv1_2": 5.0, "conv2_2": 5.0, "conv3_3": 5.0, "conv4_3": 5.0})
+    # steady-state rate from per-chunk log timestamps, skipping the first
+    # chunk (it pays trace+compile); log_fn's loss fetch syncs each chunk
+    stamps = []
+    chunk = 10
+    slow_style.optimize(
+        vgg_params, content, style,
+        num_steps=steps + chunk, log_every=chunk,
+        log_fn=lambda step, loss: stamps.append((step, time.perf_counter())),
+        **weights,
+    )
+    (s0, t0), (s1, t1) = stamps[1], stamps[-1]
+    return (s1 - s0) / (t1 - t0)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -111,7 +141,10 @@ def main():
         "precision": args.precision,
     }
     if not args.skip_train:
-        details["train_steps_per_sec_b4_256"] = round(bench_train_step(5 if args.quick else 20), 3)
+        details["train_steps_per_sec_b4_256"] = round(bench_train_step(5 if args.quick else 30), 3)
+        rate = bench_slow_style(20 if args.quick else 100)
+        details["slow_style_steps_per_sec_256"] = round(rate, 2)
+        details["slow_style_1000step_seconds"] = round(1000 / rate, 1)
 
     print(
         json.dumps(

@@ -140,7 +140,8 @@ class Batcher:
                 return None
             return _decode_resize(enc, self._resize)
 
-        with ThreadPoolExecutor(max_workers=self._threads) as pool:
+        pool = ThreadPoolExecutor(max_workers=self._threads)
+        try:
             stream = _bounded_map(pool, decode, self._record_stream(), depth=4 * self._threads)
             for img in stream:
                 if img is None:
@@ -165,6 +166,13 @@ class Batcher:
                     pending = []
             if pending and not self._drop_remainder:
                 yield np.stack(pending)
+        except GeneratorExit:
+            # consumer abandoned the iterator (e.g. num_steps_break hit, or
+            # GC at interpreter teardown): don't join workers — cancel and go
+            pool.shutdown(wait=False, cancel_futures=True)
+            raise
+        else:
+            pool.shutdown(wait=True)
 
 
 def device_prefetch(batches: Iterator[np.ndarray], *, depth: int = 2, sharding=None):
