@@ -1,0 +1,134 @@
+"""End-to-end CLI runs (in-process, on the test CPU backend).
+
+Each test drives a CLI main() through sys.argv exactly as a user would,
+covering the full wiring: flags -> pipeline -> model -> artifacts on disk.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).parent.parent
+CLI = ROOT / "cli"
+
+
+def _run(name, argv, monkeypatch):
+    spec = importlib.util.spec_from_file_location(f"clie2e_{name}", CLI / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", [f"{name}.py"] + argv)
+    mod.main()
+
+
+@pytest.fixture()
+def vgg_npz(tmp_path):
+    from faststyle_tpu.models import vgg16
+
+    rng = np.random.default_rng(0)
+    data = {}
+    cin = 3
+    for gi, group in enumerate(vgg16._GROUPS, start=1):
+        cout = vgg16._CHANNELS[gi]
+        for name in group:
+            data[f"{name}_W"] = (rng.standard_normal((3, 3, cin, cout)) * 0.05).astype(np.float32)
+            data[f"{name}_b"] = np.zeros(cout, np.float32)
+            cin = cout
+    path = tmp_path / "vgg16_weights.npz"
+    np.savez(path, **data)
+    return path
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    from faststyle_tpu.utils import image_io
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        image_io.imwrite(d / f"im{i}.jpg", rng.integers(0, 255, (48, 56, 3), dtype=np.uint8))
+    return d
+
+
+def test_stylize_image_cli(tmp_path, monkeypatch):
+    out = tmp_path / "styled.png"
+    _run(
+        "stylize_image",
+        [
+            "--input_img_path", str(ROOT / "tests/assets/chicago_crop256.png"),
+            "--output_img_path", str(out),
+            "--model_path", str(ROOT / "models/starry_final.npz"),
+            "--content_target_resize", "0.25",
+        ],
+        monkeypatch,
+    )
+    from faststyle_tpu.utils import image_io
+
+    img = image_io.imread(out)
+    assert img.shape == (64, 64, 3)
+
+
+def test_tfrecords_writer_and_train_cli(tmp_path, monkeypatch, vgg_npz, image_dir):
+    records = tmp_path / "records"
+    _run(
+        "tfrecords_writer",
+        ["--train_directory", str(image_dir), "--output_directory", str(records)],
+        monkeypatch,
+    )
+    assert len(list(records.glob("train-*"))) == 2
+
+    monkeypatch.chdir(tmp_path)  # train writes ./training ./models ./summaries
+    _run(
+        "train",
+        [
+            "--train_dir", str(records),
+            "--model_name", "e2e",
+            "--style_img_path", str(ROOT / "tests/assets/candy.jpg"),
+            "--style_target_resize", "0.1",
+            "--vgg_path", str(vgg_npz),
+            "--batch_size", "2",
+            "--preprocess_size", "32", "32",
+            "--num_steps_break", "3",
+            "--num_steps_ckpt", "2",
+            "--num_pipe_buffer", "2",
+            "--n_epochs", "4",
+        ],
+        monkeypatch,
+    )
+    assert (tmp_path / "models/e2e_final.npz").exists()
+    assert list((tmp_path / "training/e2e").glob("step_*"))
+
+
+def test_slow_style_cli(tmp_path, monkeypatch, vgg_npz):
+    out = tmp_path / "out.jpg"
+    _run(
+        "slow_style",
+        [
+            "--style_img_path", str(ROOT / "tests/assets/candy.jpg"),
+            "--cont_img_path", str(ROOT / "tests/assets/chicago_crop256.png"),
+            "--style_target_resize", "0.1",
+            "--cont_target_resize", "0.25",
+            "--vgg_path", str(vgg_npz),
+            "--num_steps_break", "12",
+            "--output_img_path", str(out),
+        ],
+        monkeypatch,
+    )
+    assert out.exists()
+
+
+def test_stylize_webcam_synthetic_cli(monkeypatch, capsys):
+    _run(
+        "stylize_webcam",
+        [
+            "--model_path", str(ROOT / "models/starry_final.npz"),
+            "--num_synthetic_frames", "3",
+            "--resolution", "64", "48",
+            "--precision", "float32",
+        ],
+        monkeypatch,
+    )
+    assert "fps" in capsys.readouterr().out
