@@ -70,6 +70,29 @@ def test_metrics_decomposition(vgg_params, small_config, target_grams):
     )
 
 
+def test_train_step_bfloat16_compute(vgg_params, target_grams):
+    """bf16 compute_dtype must train (regression: preferred_element_type=f32
+    on bf16 convs broke lax's conv transpose rule under autodiff)."""
+    config = TrainConfig.make(
+        content_layers=("conv2_2",),
+        content_weights=(1.0,),
+        style_layers=("conv1_2", "conv2_2"),
+        style_weights=(5.0, 5.0),
+        beta=1e-6,
+        learn_rate=1e-3,
+        compute_dtype=jnp.bfloat16,
+    )
+    step_fn = make_jitted_train_step(vgg_params, target_grams, config)
+    state = init_state(jax.random.PRNGKey(1), config)
+    batch = np.random.default_rng(1).uniform(0, 255, (2, SIZE, SIZE, 3)).astype(np.float32)
+    losses = []
+    for _ in range(8):
+        state, metrics = step_fn(state, jnp.asarray(batch))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+
+
 def test_checkpoint_roundtrip(tmp_path, small_config):
     state = init_state(jax.random.PRNGKey(2), small_config)
     state = state._replace(step=jnp.asarray(7, jnp.int32))
