@@ -36,6 +36,12 @@ def setup_parser():
     # --- TPU-native extensions ---
     parser.add_argument("--vgg_path", default="libs/vgg16_weights.npz")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument(
+        "--precision",
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="VGG compute precision (pixels always optimize in float32).",
+    )
     return parser
 
 
@@ -63,6 +69,8 @@ def main():
     cont_img = image_io.imread(args.cont_img_path)
     cont_img = image_io.imresize(cont_img, args.cont_target_resize).astype("float32")
 
+    import jax.numpy as jnp
+
     out = slow_style.optimize(
         vgg_params,
         cont_img,
@@ -74,6 +82,7 @@ def main():
         num_steps=args.num_steps_break,
         seed=args.seed,
         log_fn=lambda step, loss: print(step, loss),
+        compute_dtype=jnp.bfloat16 if args.precision == "bfloat16" else None,
     )
     image_io.imwrite(args.output_img_path, out)
     print(f"Saved {args.output_img_path}")

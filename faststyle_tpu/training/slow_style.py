@@ -64,6 +64,7 @@ def optimize(
     log_every: int = 10,
     seed: int = 0,
     log_fn: Optional[Callable[[int, float], None]] = None,
+    compute_dtype=None,
 ) -> np.ndarray:
     """Run the pixel optimization; returns the HWC float image (unclamped)."""
     content_img = np.asarray(content_img, np.float32)
@@ -87,7 +88,7 @@ def optimize(
     opt_state = opt.init(pixels)
 
     def loss_fn(px):
-        acts = vgg16.apply(vgg_params, px, all_layers)
+        acts = vgg16.apply(vgg_params, px, all_layers, compute_dtype=compute_dtype)
         total, _parts = losses.perceptual_loss(
             acts, tgt_content, tgt_grams, content_weights, style_weights, px, beta
         )
