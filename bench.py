@@ -58,10 +58,11 @@ def bench_inference(frames, precision="bfloat16"):
     return fps_1080, fps_512
 
 
-def bench_train_step(steps=20):
+def bench_train_step(steps=20, precision="float32"):
     """Train step/sec at the reference recipe shapes (batch 4 @ 256px),
     synthetic data, random VGG (weights don't change the math's cost)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from faststyle_tpu.models import vgg16
@@ -72,7 +73,9 @@ def bench_train_step(steps=20):
         make_jitted_train_step,
     )
 
-    config = TrainConfig.make()
+    config = TrainConfig.make(
+        compute_dtype=jnp.bfloat16 if precision == "bfloat16" else None
+    )
     vgg_params = vgg16.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     style = rng.uniform(0, 255, (1, 256, 256, 3)).astype(np.float32)
@@ -93,11 +96,12 @@ def bench_train_step(steps=20):
     return steps / (time.perf_counter() - t0)
 
 
-def bench_slow_style(steps=100):
+def bench_slow_style(steps=100, precision="float32"):
     """Gatys pixel-optimization steps/sec at 256px (BASELINE config #2 —
     wall time for the 1000-step loop extrapolates as 1000/rate). Random VGG
     weights: identical compute cost to pretrained."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from faststyle_tpu.models import vgg16
@@ -107,8 +111,11 @@ def bench_slow_style(steps=100):
     rng = np.random.default_rng(0)
     content = rng.uniform(0, 255, (256, 256, 3)).astype(np.float32)
     style = rng.uniform(0, 255, (1, 256, 256, 3)).astype(np.float32)
-    weights = dict(content_weights={"conv3_3": 1.0},
-                   style_weights={"conv1_2": 5.0, "conv2_2": 5.0, "conv3_3": 5.0, "conv4_3": 5.0})
+    weights = dict(
+        content_weights={"conv3_3": 1.0},
+        style_weights={"conv1_2": 5.0, "conv2_2": 5.0, "conv3_3": 5.0, "conv4_3": 5.0},
+        compute_dtype=jnp.bfloat16 if precision == "bfloat16" else None,
+    )
     # steady-state rate from per-chunk log timestamps, skipping the first
     # chunk (it pays trace+compile); log_fn's loss fetch syncs each chunk
     stamps = []
@@ -141,8 +148,10 @@ def main():
         "precision": args.precision,
     }
     if not args.skip_train:
-        details["train_steps_per_sec_b4_256"] = round(bench_train_step(5 if args.quick else 30), 3)
-        rate = bench_slow_style(20 if args.quick else 100)
+        details["train_steps_per_sec_b4_256"] = round(
+            bench_train_step(5 if args.quick else 30, args.precision), 3
+        )
+        rate = bench_slow_style(20 if args.quick else 100, args.precision)
         details["slow_style_steps_per_sec_256"] = round(rate, 2)
         details["slow_style_1000step_seconds"] = round(1000 / rate, 1)
 

@@ -69,6 +69,11 @@ def main():
     cont_img = image_io.imread(args.cont_img_path)
     cont_img = image_io.imresize(cont_img, args.cont_target_resize).astype("float32")
 
+    if len(args.loss_content_layers) != len(args.content_weights):
+        raise SystemExit("--loss_content_layers and --content_weights lengths differ")
+    if len(args.loss_style_layers) != len(args.style_weights):
+        raise SystemExit("--loss_style_layers and --style_weights lengths differ")
+
     import jax.numpy as jnp
 
     out = slow_style.optimize(

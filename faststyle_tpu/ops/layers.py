@@ -61,8 +61,6 @@ def conv2d(
     w: jax.Array,
     stride: int = 1,
     padding: str = "SAME",
-    *,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """2-D convolution, NHWC activations x HWIO weights.
 
@@ -70,19 +68,16 @@ def conv2d(
     the identical `pad_total // 2` split), matching reference
     im_transf_net.py:115-118.
 
-    preferred_element_type is only requested when it differs from the input
-    dtype AND we're not under autodiff-sensitive bf16: for bf16 inputs the
-    TPU MXU accumulates in f32 internally regardless, and requesting f32
-    output breaks lax's conv transpose rule (f32 cotangent vs bf16 kernel).
+    No preferred_element_type override: the TPU MXU accumulates bf16 convs
+    in f32 internally, and requesting an f32 output on bf16 inputs breaks
+    lax's conv transpose rule under autodiff (f32 cotangent vs bf16 kernel).
     """
-    pet = accum_dtype if x.dtype == accum_dtype else None
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=pet,
     ).astype(x.dtype)
 
 
@@ -121,7 +116,6 @@ def transposed_conv2d(x: jax.Array, w_hwoi: jax.Array, stride: int) -> jax.Array
         padding=(ph, pw),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     ).astype(x.dtype)
 
 

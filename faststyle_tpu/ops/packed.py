@@ -132,21 +132,18 @@ def conv2d_packed(
     gh: AxisGeom,
     gw: AxisGeom,
     out_packed_hw: Tuple[int, int],
-    *,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
+    """Run a packed conv. No preferred_element_type override: the MXU
+    accumulates bf16 convs in f32 internally, and requesting an f32 output
+    on bf16 inputs breaks lax's conv transpose rule under autodiff."""
     pad_h = packed_pads(gh, x_packed.shape[1], out_packed_hw[0])
     pad_w = packed_pads(gw, x_packed.shape[2], out_packed_hw[1])
-    # bf16 inputs: MXU accumulates f32 internally; requesting an f32 output
-    # dtype would break lax's conv transpose rule under autodiff
-    pet = accum_dtype if x_packed.dtype == accum_dtype else None
     return lax.conv_general_dilated(
         x_packed,
         kernel.astype(x_packed.dtype),
         window_strides=(gh.t, gw.t),
         padding=(pad_h, pad_w),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=pet,
     ).astype(x_packed.dtype)
 
 

@@ -84,18 +84,22 @@ def train(
                 break
             final_state, metrics = step_fn(final_state, batch)
             step += 1
-            if step % num_steps_ckpt == 0:
+            if num_steps_ckpt > 0 and step % num_steps_ckpt == 0:
                 ckpt_lib.save(ckpt_dir, jax.device_get(final_state))
                 logger.log(step, {k: float(v) for k, v in metrics.items()})
-            elif step % log_every == 0:
+            elif log_every > 0 and step % log_every == 0:
                 logger.log(step, {k: float(v) for k, v in metrics.items()})
         else:
             print("Done training (epochs exhausted).")
-    finally:
+        # Save final weights only on a clean finish: on failure the state's
+        # donated buffers are already deleted, and overwriting a previous
+        # good <model>_final.npz with a crashed run's weights would destroy
+        # a good artifact — the periodic checkpoints are the recovery story.
         models_root = Path(models_root)
         models_root.mkdir(parents=True, exist_ok=True)
         final = jax.device_get(final_state)
         inference.save_params(models_root / f"{model_name}_final.npz", final.params)
         print(f"[train] final weights -> {models_root / (model_name + '_final.npz')}")
+    finally:
         logger.close()
     return final_state

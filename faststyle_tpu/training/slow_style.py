@@ -108,6 +108,10 @@ def optimize(
         )
         return px, opt_state, chunk_losses
 
+    if log_every <= 0:
+        log_every = num_steps  # "no periodic logging" -> one chunk
+    if len(content_weights) == 0 and len(style_weights) == 0:
+        raise ValueError("need at least one content or style layer")
     done = 0
     while done < num_steps:
         length = min(log_every, num_steps - done)  # never exceed the budget

@@ -49,6 +49,14 @@ class TrainConfig(NamedTuple):
         compute_dtype=None,
     ) -> "TrainConfig":
         """Defaults = the reference training recipe (train.py:34-104)."""
+        if len(content_layers) != len(content_weights):
+            raise ValueError(
+                f"{len(content_layers)} content layers but {len(content_weights)} weights"
+            )
+        if len(style_layers) != len(style_weights):
+            raise ValueError(
+                f"{len(style_layers)} style layers but {len(style_weights)} weights"
+            )
         return TrainConfig(
             tuple(zip(content_layers, content_weights)),
             tuple(zip(style_layers, style_weights)),
