@@ -93,6 +93,25 @@ def test_train_step_bfloat16_compute(vgg_params, target_grams):
     assert losses[-1] < losses[0]
 
 
+def test_train_step_deconv_variant(vgg_params, target_grams):
+    """The 'deconv' upsampling variant must train (transposed-conv grads)."""
+    config = TrainConfig.make(
+        content_layers=("conv2_2",),
+        content_weights=(1.0,),
+        style_layers=("conv1_2", "conv2_2"),
+        style_weights=(5.0, 5.0),
+        beta=1e-4,  # the recipe recommends TV reg for deconv (train.py:89-91)
+        learn_rate=1e-3,
+        upsample_method="deconv",
+    )
+    step_fn = make_jitted_train_step(vgg_params, target_grams, config)
+    state = init_state(jax.random.PRNGKey(2), config)
+    batch = np.random.default_rng(3).uniform(0, 255, (2, SIZE, SIZE, 3)).astype(np.float32)
+    for _ in range(3):
+        state, metrics = step_fn(state, jnp.asarray(batch))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_checkpoint_roundtrip(tmp_path, small_config):
     state = init_state(jax.random.PRNGKey(2), small_config)
     state = state._replace(step=jnp.asarray(7, jnp.int32))
