@@ -125,6 +125,23 @@ def test_writer_shards_and_determinism(tmp_path):
     assert order1 != sorted(order1)  # actually shuffled
 
 
+def test_writer_reencodes_png_to_jpeg(tmp_path):
+    """PNG inputs are re-encoded to JPEG (reference tfrecords_writer.py:171-174);
+    the stored bytes must decode as JPEG."""
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    image_io.imwrite(d / "img.png", rng.integers(0, 255, (20, 24, 3), dtype=np.uint8))
+    paths = writer.write_dataset(d, tmp_path / "o", num_shards=1, num_threads=1)
+    recs = list(tfrecord.iter_records(paths[0], verify=True))
+    assert len(recs) == 1
+    ex = tfrecord.decode_example(recs[0])
+    assert ex["image/encoded"][:2] == b"\xff\xd8"  # JPEG SOI marker
+    assert ex["image/height"] == 20 and ex["image/width"] == 24
+    img = pipeline._decode_resize(ex["image/encoded"], None)
+    assert img.shape == (20, 24, 3)
+
+
 def test_writer_rejects_bad_shard_split(tmp_path):
     imgs = _make_images(tmp_path, n=2)
     with pytest.raises(ValueError, match="divisible"):
