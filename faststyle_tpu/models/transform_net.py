@@ -97,10 +97,10 @@ def _in_relu(x, blk):  # conv already applied
 
 
 def packed_layout_supported(h: int, w: int, upsample_method: str = "resize") -> bool:
-    """The packed fast path covers the 'resize' net on inputs whose sides are
-    multiples of 8 (keeps every stage's packing exactly divisible). Covers
-    all the headline shapes: 256 train crops, 512px, 800x600, 1080p."""
-    return upsample_method == "resize" and h % 8 == 0 and w % 8 == 0
+    """The packed fast path covers the 'resize' net at ANY input size (ragged
+    packings carry zeroed tails + masked statistics — see apply_packed);
+    'deconv' models run the naive path."""
+    return upsample_method == "resize" and h >= 8 and w >= 8
 
 
 def apply(
@@ -168,11 +168,16 @@ def apply(
 
 # packed-grid geometries (shape-independent); see ops.packed.axis_geom
 _G_INIT0 = PK.axis_geom(p_in=4, p_out=4, stride=1, k=9, pad_lo=4)  # SAME pad 4
-_G_INIT1 = PK.axis_geom(4, 2, 2, 3, 0)  # SAME s2 on even input pads (0,1)
-_G_INIT2 = PK.axis_geom(2, 2, 2, 3, 0)
 _G_RES = PK.axis_geom(2, 2, 1, 3, 0)  # VALID
 _G_UP = PK.axis_geom(2, 2, 1, 2, 0)  # fused-upsample phase conv (zero hi tap)
 _G_FINAL = PK.axis_geom(4, 4, 1, 9, 4)
+# SAME stride-2 k3: TF pads (0,1) for even input, (1,1) for odd -> pad_lo by parity
+_G_S2 = {
+    (4, 0): PK.axis_geom(4, 2, 2, 3, 0),
+    (4, 1): PK.axis_geom(4, 2, 2, 3, 1),
+    (2, 0): PK.axis_geom(2, 2, 2, 3, 0),
+    (2, 1): PK.axis_geom(2, 2, 2, 3, 1),
+}
 
 
 def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Array:
@@ -194,7 +199,6 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
     """
     orig_dtype = x.dtype
     n, h, w, _ = x.shape
-    assert h % 8 == 0 and w % 8 == 0, "packed layout needs H, W % 8 == 0"
     if n > 1:
         # XLA schedules the packed convs markedly worse with a batch dim
         # (measured 2.8x/frame at 1080p b=2, 1.8x at 256px b=4); sequential
@@ -206,57 +210,92 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 
-    def in_relu_packed(t, blk, p, c, sfx=""):
-        t = PK.instance_norm_packed(t, blk["INscale" + sfx], blk["INshift" + sfx], p)
-        return L.relu(t)
+    cd = PK.ceil_div
 
-    hp, wp = h + 80, w + 80
-    z = L.reflect_pad(x, 40)
-    z = PK.pack_nhwc(z, 4)  # [hp/4, wp/4, 48]
+    def norm(t, blk, p, c, lh, lw, sfx="", relu=True):
+        """IN with masked counts on ragged tensors; the affine shift makes
+        the zero tail nonzero, so re-zero it (static no-op when aligned)."""
+        aligned = t.shape[1] * p == lh and t.shape[2] * p == lw
+        t = PK.instance_norm_packed(
+            t,
+            blk["INscale" + sfx],
+            blk["INshift" + sfx],
+            p,
+            valid_hw=None if aligned else (lh, lw),
+        )
+        if relu:
+            t = L.relu(t)
+        if not aligned:
+            t = PK.zero_tail(t, p, c, lh, lw)
+        return t
 
-    blk = params["initconv_0"]
-    k0 = PK.pack_kernel(blk["W"].astype(z.dtype), _G_INIT0, _G_INIT0)
-    z = PK.conv2d_packed(z, k0, _G_INIT0, _G_INIT0, (hp // 4, wp // 4))
-    z = in_relu_packed(z, blk, 4, 16)
+    def conv(z, kernel_w, gh, gw, p_out, c_out, lh_out, lw_out):
+        """Packed conv emitting exactly ceil(l_out/p_out) blocks; tail
+        positions (computed from valid data) are re-zeroed to keep the
+        zero-tail invariant every SAME read depends on."""
+        k = PK.pack_kernel(kernel_w.astype(z.dtype), gh, gw)
+        z = PK.conv2d_packed(z, k, gh, gw, (cd(lh_out, p_out), cd(lw_out, p_out)))
+        if z.shape[1] * p_out != lh_out or z.shape[2] * p_out != lw_out:
+            z = PK.zero_tail(z, p_out, c_out, lh_out, lw_out)
+        return z
 
-    blk = params["initconv_1"]
-    k1 = PK.pack_kernel(blk["W"].astype(z.dtype), _G_INIT1, _G_INIT1)
-    z = PK.conv2d_packed(z, k1, _G_INIT1, _G_INIT1, (hp // 4, wp // 4))  # half p=2
-    z = in_relu_packed(z, blk, 2, 32)
+    def s2_geom(p_in, l):
+        # TF SAME k3 s2: pad_total = 1 for even l, 2 for odd -> pad_lo 0 / 1
+        return _G_S2[(p_in, 0 if l % 2 == 0 else 1)]
 
-    blk = params["initconv_2"]
-    k2 = PK.pack_kernel(blk["W"].astype(z.dtype), _G_INIT2, _G_INIT2)
-    z = PK.conv2d_packed(z, k2, _G_INIT2, _G_INIT2, (hp // 8, wp // 8))  # quarter p=2
-    z = in_relu_packed(z, blk, 2, 64)
+    lh, lw = h + 80, w + 80
+    z = PK.pad_pack(L.reflect_pad(x, 40), 4)  # zero tails by construction
+
+    blk = params["initconv_0"]  # 9x9 s1 SAME: logical size unchanged
+    z = conv(z, blk["W"], _G_INIT0, _G_INIT0, 4, 16, lh, lw)
+    z = norm(z, blk, 4, 16, lh, lw)
+
+    blk = params["initconv_1"]  # 3x3 s2 SAME -> half res, p=2
+    prev_h, prev_w = lh, lw
+    lh, lw = cd(lh, 2), cd(lw, 2)
+    z = conv(z, blk["W"], s2_geom(4, prev_h), s2_geom(4, prev_w), 2, 32, lh, lw)
+    z = norm(z, blk, 2, 32, lh, lw)
+
+    blk = params["initconv_2"]  # 3x3 s2 SAME -> quarter res, p=2
+    prev_h, prev_w = lh, lw
+    lh, lw = cd(lh, 2), cd(lw, 2)
+    z = conv(z, blk["W"], s2_geom(2, prev_h), s2_geom(2, prev_w), 2, 64, lh, lw)
+    z = norm(z, blk, 2, 64, lh, lw)
 
     for i in range(_NUM_RESBLOCKS):
         blk = params[f"resblock_{i}"]
-        kw1 = PK.pack_kernel(blk["W1"].astype(z.dtype), _G_RES, _G_RES)
-        r = PK.conv2d_packed(z, kw1, _G_RES, _G_RES, (z.shape[1] - 1, z.shape[2] - 1))
-        r = in_relu_packed(r, blk, 2, 64, "1")
-        kw2 = PK.pack_kernel(blk["W2"].astype(z.dtype), _G_RES, _G_RES)
-        r = PK.conv2d_packed(r, kw2, _G_RES, _G_RES, (r.shape[1] - 1, r.shape[2] - 1))
-        r = PK.instance_norm_packed(r, blk["INscale2"], blk["INshift2"], 2)
-        # crop 1 packed px/side == the 2 full-res px crop of the skip
-        z = r + z[:, 1:-1, 1:-1, :]
+        r = conv(z, blk["W1"], _G_RES, _G_RES, 2, 64, lh - 2, lw - 2)
+        r = norm(r, blk, 2, 64, lh - 2, lw - 2, "1")
+        r = conv(r, blk["W2"], _G_RES, _G_RES, 2, 64, lh - 4, lw - 4)
+        r = norm(r, blk, 2, 64, lh - 4, lw - 4, "2", relu=False)
+        # crop 1 packed px/side == the 2 full-res px crop; the skip slice can
+        # carry one extra valid row/col in its tail — the add re-masks it
+        lh, lw = lh - 4, lw - 4
+        z = r + z[:, 1 : 1 + r.shape[1], 1 : 1 + r.shape[2], :]
+        if z.shape[1] * 2 != lh or z.shape[2] * 2 != lw:
+            z = PK.zero_tail(z, 2, 64, lh, lw)
 
     for i, c_out in ((0, 32), (1, 16)):
         blk = params[f"upsample_{i}"]
         phase = L.upsample_phase_kernel(blk["W"]).astype(z.dtype)  # [2,2,cin,4*cout]
         ku = PK.pack_kernel(phase, _G_UP, _G_UP)
         ku = PK.permute_upsample_out(ku, p_out=2, phase=2, c_real=c_out)
-        z = PK.conv2d_packed(z, ku, _G_UP, _G_UP, (z.shape[1], z.shape[2]))  # finer p=4
-        z = in_relu_packed(z, blk, 4, c_out)
+        lh, lw = 2 * lh, 2 * lw  # net 2x upsample; output p=4 on the finer grid
+        z = PK.conv2d_packed(z, ku, _G_UP, _G_UP, (cd(lh, 4), cd(lw, 4)))
+        if z.shape[1] * 4 != lh or z.shape[2] * 4 != lw:
+            z = PK.zero_tail(z, 4, c_out, lh, lw)
+        z = norm(z, blk, 4, c_out, lh, lw)
         if i == 0:
-            z = PK.repack(z, 4, 2, c_out)
+            # repack p4 -> p2 via unpack + slice to logical + repack (the
+            # slice drops the p4 tail; lh, lw are even so p2 has no tail)
+            z = PK.unpack_nhwc(z, 4, c_out)[:, :lh, :lw, :]
+            z = PK.pad_pack(z, 2)
 
-    blk = params["upsample_2"]
-    kf = PK.pack_kernel(blk["W"].astype(z.dtype), _G_FINAL, _G_FINAL)
-    z = PK.conv2d_packed(z, kf, _G_FINAL, _G_FINAL, (z.shape[1], z.shape[2]))
-    z = PK.instance_norm_packed(z, blk["INscale"], blk["INshift"], 4)
+    blk = params["upsample_2"]  # 9x9 s1 SAME at full resolution
+    z = conv(z, blk["W"], _G_FINAL, _G_FINAL, 4, 3, lh, lw)
+    z = norm(z, blk, 4, 3, lh, lw, relu=False)
     z = L.scaled_tanh(z)
-    out = PK.unpack_nhwc(z, 4, 3)
-    assert out.shape == (n, h, w, 3), out.shape
+    out = PK.unpack_nhwc(z, 4, 3)[:, :lh, :lw, :]
     return out.astype(orig_dtype)
 
 

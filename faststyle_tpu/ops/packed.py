@@ -147,6 +147,41 @@ def conv2d_packed(
     ).astype(x_packed.dtype)
 
 
+def ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def pad_pack(x: jax.Array, p: int) -> jax.Array:
+    """Zero-pad H,W up to multiples of p, then pack. The zero tail is the
+    invariant the ragged-size packed path relies on (see transform_net
+    apply_packed): positions beyond the logical extent are always zero."""
+    n, h, w, c = x.shape
+    ph = ceil_div(h, p) * p - h
+    pw = ceil_div(w, p) * p - w
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return pack_nhwc(x, p)
+
+
+def zero_tail(x_packed: jax.Array, p: int, c: int, lh: int, lw: int) -> jax.Array:
+    """Re-zero positions beyond logical (lh, lw) in a packed tensor.
+
+    Garbage only ever lives in the LAST block along each axis (convs emit
+    exactly ceil(l/p) blocks). Static no-op when the extent divides p."""
+    n, gh, gw, cc = x_packed.shape
+    th = gh * p - lh  # garbage rows in the last h-block
+    tw = gw * p - lw
+    if th:
+        m = (np.arange(p) < p - th).astype(np.float32)
+        mask = np.kron(m, np.ones(p * c, np.float32))  # channel order (dy,dx,c)
+        x_packed = x_packed.at[:, -1, :, :].multiply(jnp.asarray(mask, x_packed.dtype))
+    if tw:
+        m = (np.arange(p) < p - tw).astype(np.float32)
+        mask = np.kron(np.ones(p, np.float32), np.kron(m, np.ones(c, np.float32)))
+        x_packed = x_packed.at[:, :, -1, :].multiply(jnp.asarray(mask, x_packed.dtype))
+    return x_packed
+
+
 def instance_norm_packed(
     x_packed: jax.Array,
     scale: jax.Array,
@@ -154,25 +189,36 @@ def instance_norm_packed(
     p: int,
     eps: float = 1e-3,
     *,
+    valid_hw: Tuple[int, int] | None = None,
     use_pallas: bool = False,
 ) -> jax.Array:
     """Instance norm with statistics per REAL channel computed in packed
     layout: the p^2 position groups fold into the (H,W) reduction. Same
     moments as ops.layers.instance_norm (biased var, eps inside sqrt).
 
+    `valid_hw`: logical (h, w) extent when the packed tensor carries a
+    zeroed garbage tail (ragged sizes) — statistics divide by the true
+    pixel count and the variance uses E[x^2]-mu^2 so zero-tail terms cancel.
+    None (aligned case) keeps the two-pass form, bit-matching the naive path.
+
     `use_pallas=True` runs the ops.pallas.instance_norm kernel instead;
     measured SLOWER than XLA's fused reduce+elementwise on v5e (1.95 vs
     1.38 ms at 290x500x256 bf16, docs/PERF.md), so lax is the default.
     """
-    if use_pallas:
+    if use_pallas and valid_hw is None:
         from faststyle_tpu.ops.pallas.instance_norm import instance_norm_pallas
 
         return instance_norm_pallas(x_packed, scale, shift, groups=p * p, eps=eps)
     n, hp, wp, cc = x_packed.shape
     c = cc // (p * p)
     xf = x_packed.astype(jnp.float32).reshape(n, hp, wp, p * p, c)
-    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    if valid_hw is None or valid_hw == (hp * p, wp * p):
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    else:
+        count = jnp.float32(valid_hw[0] * valid_hw[1])
+        mean = jnp.sum(xf, axis=(1, 2, 3), keepdims=True) / count
+        var = jnp.sum(jnp.square(xf), axis=(1, 2, 3), keepdims=True) / count - jnp.square(mean)
     normed = (xf - mean) * lax.rsqrt(var + eps)
     out = scale.astype(jnp.float32) * normed + shift.astype(jnp.float32)
     return out.reshape(n, hp, wp, cc).astype(x_packed.dtype)

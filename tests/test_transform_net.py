@@ -76,7 +76,7 @@ def test_golden_parity_512_packed_path(starry_params):
     assert score >= 0.99, f"SSIM {score}"
 
 
-@pytest.mark.parametrize("hw", [(64, 64), (88, 96), (128, 72)])
+@pytest.mark.parametrize("hw", [(64, 64), (88, 96), (128, 72), (66, 70), (59, 83), (50, 47)])
 def test_packed_matches_naive(starry_params, hw):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.uniform(0, 255, (2, *hw, 3)), jnp.float32)
