@@ -14,8 +14,10 @@ Exact topology (parity-critical, see SURVEY.md §2.3):
   upsample_1: resize-conv (or deconv) 3x3 32->16 net-2x | IN | relu
   upsample_2: 9x9 16->3 s1 SAME | IN | scaled_tanh  -> [0, 255]
 
-Input contract: NHWC float, raw RGB in [0,255], H and W divisible by 4.
-Output: same spatial size, range [0,255].
+Input contract: NHWC float, raw RGB in [0,255], any H and W. Output range
+[0,255]; output spatial size equals the input for H,W divisible by 4, and
+follows the reference's shape law 4*ceil(ceil((d+80)/2)/2) - 80 otherwise
+(e.g. 474 -> 476, matching TF1's SAME/ceil arithmetic — see test_shape_law).
 
 Params pytree layout intentionally mirrors the TF1 checkpoint variable names
 (`img_t_net/<block>/<var>`, see compat.tf1_checkpoint) as a nested dict:
@@ -186,7 +188,13 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
     packed grid with 48..512-wide channel dims (see ops.packed). Exact
     relayout of `apply` — same dot products, MXU-friendly shapes.
 
-    Layout walk (input [N,H,W,3], H,W % 8 == 0, Hp=H+80):
+    Supports ANY input size: each stage tracks its logical extent; packed
+    tensors carry zeroed garbage tails (re-zeroed after ops that disturb
+    them) and instance-norm statistics use masked counts, so ragged sizes
+    are exact relayouts too — verified against the naive path at odd and
+    prime sizes. All masking is a static no-op for aligned shapes.
+
+    Layout walk (input [N,H,W,3], Hp=H+80; block counts are ceil-divisions):
       pack p=4               [Hp/4, Wp/4, 48]
       initconv_0 (q=3)       [Hp/4, Wp/4, 256]   full-res p=4, c=16
       initconv_1 (q=2)       [Hp/4, Wp/4, 128]   half-res p=2, c=32
@@ -225,19 +233,16 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
         )
         if relu:
             t = L.relu(t)
-        if not aligned:
-            t = PK.zero_tail(t, p, c, lh, lw)
-        return t
+        return PK.zero_tail(t, p, c, lh, lw)
 
     def conv(z, kernel_w, gh, gw, p_out, c_out, lh_out, lw_out):
         """Packed conv emitting exactly ceil(l_out/p_out) blocks; tail
         positions (computed from valid data) are re-zeroed to keep the
-        zero-tail invariant every SAME read depends on."""
+        zero-tail invariant every SAME read depends on. zero_tail is a
+        static no-op when the extent is aligned."""
         k = PK.pack_kernel(kernel_w.astype(z.dtype), gh, gw)
         z = PK.conv2d_packed(z, k, gh, gw, (cd(lh_out, p_out), cd(lw_out, p_out)))
-        if z.shape[1] * p_out != lh_out or z.shape[2] * p_out != lw_out:
-            z = PK.zero_tail(z, p_out, c_out, lh_out, lw_out)
-        return z
+        return PK.zero_tail(z, p_out, c_out, lh_out, lw_out)
 
     def s2_geom(p_in, l):
         # TF SAME k3 s2: pad_total = 1 for even l, 2 for odd -> pad_lo 0 / 1
@@ -272,8 +277,7 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
         # carry one extra valid row/col in its tail — the add re-masks it
         lh, lw = lh - 4, lw - 4
         z = r + z[:, 1 : 1 + r.shape[1], 1 : 1 + r.shape[2], :]
-        if z.shape[1] * 2 != lh or z.shape[2] * 2 != lw:
-            z = PK.zero_tail(z, 2, 64, lh, lw)
+        z = PK.zero_tail(z, 2, 64, lh, lw)
 
     for i, c_out in ((0, 32), (1, 16)):
         blk = params[f"upsample_{i}"]
@@ -282,8 +286,7 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
         ku = PK.permute_upsample_out(ku, p_out=2, phase=2, c_real=c_out)
         lh, lw = 2 * lh, 2 * lw  # net 2x upsample; output p=4 on the finer grid
         z = PK.conv2d_packed(z, ku, _G_UP, _G_UP, (cd(lh, 4), cd(lw, 4)))
-        if z.shape[1] * 4 != lh or z.shape[2] * 4 != lw:
-            z = PK.zero_tail(z, 4, c_out, lh, lw)
+        z = PK.zero_tail(z, 4, c_out, lh, lw)
         z = norm(z, blk, 4, c_out, lh, lw)
         if i == 0:
             # repack p4 -> p2 via unpack + slice to logical + repack (the

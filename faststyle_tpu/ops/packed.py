@@ -197,11 +197,15 @@ def instance_norm_packed(
     moments as ops.layers.instance_norm (biased var, eps inside sqrt).
 
     `valid_hw`: logical (h, w) extent when the packed tensor carries a
-    zeroed garbage tail (ragged sizes) — statistics divide by the true
-    pixel count and the variance uses E[x^2]-mu^2 so zero-tail terms cancel.
-    None (aligned case) keeps the two-pass form, bit-matching the naive path.
+    zeroed garbage tail (ragged sizes) — statistics divide by the true pixel
+    count, and the variance stays two-pass with the mean's broadcast MASKED
+    over the tail (so tail deltas are exactly zero; the one-pass E[x^2]-mu^2
+    form could catastrophically cancel below -eps for near-constant
+    high-magnitude maps and NaN through rsqrt). None (aligned case)
+    bit-matches the naive path.
 
-    `use_pallas=True` runs the ops.pallas.instance_norm kernel instead;
+    `use_pallas=True` runs the ops.pallas.instance_norm kernel instead
+    (aligned tensors only — with valid_hw set it falls back to lax);
     measured SLOWER than XLA's fused reduce+elementwise on v5e (1.95 vs
     1.38 ms at 290x500x256 bf16, docs/PERF.md), so lax is the default.
     """
@@ -216,9 +220,16 @@ def instance_norm_packed(
         mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
     else:
-        count = jnp.float32(valid_hw[0] * valid_hw[1])
+        lh, lw = valid_hw
+        count = jnp.float32(lh * lw)
         mean = jnp.sum(xf, axis=(1, 2, 3), keepdims=True) / count
-        var = jnp.sum(jnp.square(xf), axis=(1, 2, 3), keepdims=True) / count - jnp.square(mean)
+        # two-pass variance with the mean masked to the valid extent:
+        # tail positions give 0 - mean*0 = 0 exactly (x's tail is zero)
+        row_valid = (np.arange(hp * p) < lh).reshape(hp, p)
+        col_valid = (np.arange(wp * p) < lw).reshape(wp, p)
+        mask = (row_valid[:, None, :, None] & col_valid[None, :, None, :]).astype(np.float32)
+        mask = jnp.asarray(mask.reshape(1, hp, wp, p * p, 1))
+        var = jnp.sum(jnp.square(xf - mean * mask), axis=(1, 2, 3), keepdims=True) / count
     normed = (xf - mean) * lax.rsqrt(var + eps)
     out = scale.astype(jnp.float32) * normed + shift.astype(jnp.float32)
     return out.reshape(n, hp, wp, cc).astype(x_packed.dtype)

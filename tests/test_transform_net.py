@@ -85,6 +85,30 @@ def test_packed_matches_naive(starry_params, hw):
     np.testing.assert_allclose(fast, naive, atol=5e-2)  # [0,255] scale
 
 
+def test_packed_ragged_constant_input_stays_finite(starry_params):
+    """Near-constant high-magnitude frames at ragged sizes stress the masked
+    instance-norm variance (a one-pass E[x^2]-mu^2 form could cancel below
+    -eps and NaN through rsqrt; the masked two-pass form must not)."""
+    for value in (0.0, 255.0, 200.0):
+        x = jnp.full((1, 59, 83, 3), value, jnp.float32)
+        out = np.asarray(transform_net.apply(starry_params, x, layout="packed"))
+        assert np.isfinite(out).all(), f"non-finite output for constant {value}"
+
+
+def test_masked_instance_norm_matches_naive_on_ragged(rng):
+    from faststyle_tpu.ops import layers as L
+    from faststyle_tpu.ops import packed as PK
+
+    x = (rng.standard_normal((1, 11, 13, 4)) * 30 + 150).astype(np.float32)
+    scale = rng.standard_normal(4).astype(np.float32)
+    shift = rng.standard_normal(4).astype(np.float32)
+    ref = np.asarray(L.instance_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(shift)))
+    packed = PK.pad_pack(jnp.asarray(x), 2)
+    got = PK.instance_norm_packed(packed, jnp.asarray(scale), jnp.asarray(shift), 2, valid_hw=(11, 13))
+    got = np.asarray(PK.unpack_nhwc(got, 2, 4))[:, :11, :13, :]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_packed_path_differentiable(starry_params):
     """Training runs the packed path: grads must flow through kernel packing."""
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
