@@ -54,7 +54,9 @@ def bench_inference(frames, precision="bfloat16"):
         compute_dtype=dtype,
     )
     fps_1080 = _time_stylize(stylizer, 1080, 1920, frames)
-    fps_512 = _time_stylize(stylizer, 512, 512, frames * 4)
+    # small frames are fast (~1.4 ms): use enough of them that the single
+    # sync round-trip (~100 ms on tunneled chips) stops dominating variance
+    fps_512 = _time_stylize(stylizer, 512, 512, frames * 16)
     return fps_1080, fps_512
 
 
