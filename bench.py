@@ -143,7 +143,7 @@ def main():
 
     enable_compilation_cache()
 
-    frames = 10 if args.quick else 30
+    frames = 10 if args.quick else 60
     fps_1080, fps_512 = bench_inference(frames, args.precision)
     details = {
         "stylize_512px_fps": round(fps_512, 2),
