@@ -84,6 +84,7 @@ def main():
         model_path=args.model_path,
         upsample_method=args.upsample_method,
         compute_dtype=jnp.bfloat16 if args.precision == "bfloat16" else None,
+        output_uint8=True,  # clip+cast on device: 4x smaller frame fetches
     )
 
     if args.num_synthetic_frames > 0:
@@ -127,23 +128,37 @@ def main():
 
     count = 0
     t0 = time.perf_counter()
-    try:
+
+    def emit(styled) -> bool:
+        """Fetch a finished frame, write/display it; True to keep going."""
+        img_out = np.asarray(styled[0])
+        bgr = cv2.cvtColor(img_out, cv2.COLOR_RGB2BGR)
+        out_writer.write(bgr)
+        if not args.no_display:
+            cv2.imshow("frame", bgr)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                return False
+        return True
+
+    pending = None  # dispatch frame N, then fetch frame N-1: capture/encode
+    try:  # overlap with TPU compute via JAX's async dispatch
         while True:
             ret, frame = cap.read()
             if not ret:
                 break
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB).astype(np.float32)
             styled = stylizer.stylize_batch(rgb[None])
-            img_out = np.clip(np.asarray(styled[0]), 0, 255).astype(np.uint8)
-            bgr = cv2.cvtColor(img_out, cv2.COLOR_RGB2BGR)
-            out_writer.write(bgr)
-            count += 1
-            if not args.no_display:
-                cv2.imshow("frame", bgr)
-                if cv2.waitKey(1) & 0xFF == ord("q"):
+            if pending is not None:
+                count += 1
+                if not emit(pending):
+                    pending = None
                     break
-            if 0 <= args.max_frames <= count:
+            pending = styled
+            if 0 <= args.max_frames <= count + 1:
                 break
+        if pending is not None:
+            count += 1
+            emit(pending)
     finally:
         dt = time.perf_counter() - t0
         if count:

@@ -71,7 +71,11 @@ class Stylizer:
         params: Optional[Dict] = None,
         upsample_method: str = "resize",
         compute_dtype=None,
+        output_uint8: bool = False,
     ):
+        """`output_uint8` clips and casts ON DEVICE, so fetching a stylized
+        frame moves 1/4 the bytes of float32 — the fetch is the serving
+        bottleneck for streaming (especially over remote attachments)."""
         if params is None:
             if model_path is None:
                 raise ValueError("need model_path or params")
@@ -80,20 +84,24 @@ class Stylizer:
             jax.tree.map(jnp.asarray, params)
         )
         self._method = upsample_method
-        self._fn = jax.jit(
-            functools.partial(
-                transform_net.apply,
-                upsample_method=upsample_method,
-                compute_dtype=compute_dtype,
+
+        def fwd(p, x):
+            y = transform_net.apply(
+                p, x, upsample_method=upsample_method, compute_dtype=compute_dtype
             )
-        )
+            if output_uint8:
+                y = jnp.clip(y, 0, 255).astype(jnp.uint8)
+            return y
+
+        self._fn = jax.jit(fwd)
 
     @property
     def params(self) -> Dict:
         return self._params
 
     def stylize_batch(self, imgs: jax.Array | np.ndarray) -> jax.Array:
-        """NHWC float32 RGB [0,255] -> stylized NHWC float32 [0,255] (device array)."""
+        """NHWC RGB [0,255] -> stylized NHWC [0,255] (device array; float32,
+        or uint8 with output_uint8=True)."""
         imgs = jnp.asarray(imgs, dtype=jnp.float32)
         return self._fn(self._params, imgs)
 
@@ -101,6 +109,8 @@ class Stylizer:
         """Single HWC image (uint8 or float RGB) -> stylized HWC uint8."""
         out = self.stylize_batch(np.asarray(img, dtype=np.float32)[None])
         out = np.asarray(out[0])
+        if out.dtype == np.uint8:
+            return out
         return np.clip(out, 0, 255).astype(np.uint8)
 
     def warmup(self, height: int, width: int) -> None:
