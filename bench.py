@@ -3,7 +3,7 @@
 1080p stylization frames/sec on a single chip (BASELINE.md target: >= 60).
 
 Extra measurements (512px fps, train step/sec) are included under "details".
-Run with --quick for a reduced frame count, --all for every config.
+Run with --quick for a reduced frame count.
 """
 
 import argparse

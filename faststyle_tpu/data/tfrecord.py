@@ -84,22 +84,23 @@ def frame_record(data: bytes) -> bytes:
     )
 
 
-def iter_records(path: Union[str, Path], *, verify: bool = False) -> Iterator[bytes]:
-    """Yield the payload of every record in a TFRecord file."""
-    buf = Path(path).read_bytes()
-    lib = native.load()
+def _scan_buffer(buf: bytes, verify: bool, lib, path) -> Tuple[List[bytes], int]:
+    """Scan complete records in `buf`; return (payloads, bytes consumed).
+
+    A trailing partial record is left unconsumed for the caller to carry over.
+    """
+    out: List[bytes] = []
+    total = len(buf)
     if lib is not None:
-        # scan in bounded chunks: a fixed 64K-record index window instead of
-        # a len(file)-proportional allocation
-        chunk = 65536
-        offsets = (ctypes.c_long * chunk)()
-        lengths = (ctypes.c_long * chunk)()
+        # fixed 64K-record index window instead of a len-proportional allocation
+        window = 65536
+        offsets = (ctypes.c_long * window)()
+        lengths = (ctypes.c_long * window)()
         base = ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p).value
         pos = 0
-        total = len(buf)
         while pos + 16 <= total:
             n = lib.fs_scan_records(
-                ctypes.c_void_p(base + pos), total - pos, offsets, lengths, chunk, int(verify)
+                ctypes.c_void_p(base + pos), total - pos, offsets, lengths, window, int(verify)
             )
             if n < 0:
                 raise ValueError(f"{path}: corrupt TFRecord (crc mismatch)")
@@ -107,11 +108,10 @@ def iter_records(path: Union[str, Path], *, verify: bool = False) -> Iterator[by
                 break
             for i in range(n):
                 start = pos + offsets[i]
-                yield buf[start : start + lengths[i]]
+                out.append(buf[start : start + lengths[i]])
             pos += offsets[n - 1] + lengths[n - 1] + 4
-        return
+        return out, pos
     pos = 0
-    total = len(buf)
     while pos + 12 <= total:
         (length,) = struct.unpack_from("<Q", buf, pos)
         (len_crc,) = struct.unpack_from("<I", buf, pos + 8)
@@ -125,8 +125,37 @@ def iter_records(path: Union[str, Path], *, verify: bool = False) -> Iterator[by
             (data_crc,) = struct.unpack_from("<I", buf, start + length)
             if _masked_crc_py(data) != data_crc:
                 raise ValueError(f"{path}: corrupt TFRecord (data crc)")
-        yield data
+        out.append(data)
         pos = start + length + 4
+    return out, pos
+
+
+def iter_records(
+    path: Union[str, Path], *, verify: bool = False, chunk_bytes: int = 64 << 20
+) -> Iterator[bytes]:
+    """Yield the payload of every record in a TFRecord file.
+
+    Streams the file in `chunk_bytes` reads (TF's RecordReader streams too;
+    a multi-GB COCO shard must never fully materialize in host RAM — the
+    shuffle buffer already holds thousands of decoded images). Peak memory
+    is one chunk plus the largest record straddling a chunk boundary.
+    """
+    lib = native.load()
+    with open(path, "rb") as f:
+        buf = b""
+        while True:
+            data = f.read(chunk_bytes)
+            buf = buf + data if buf else data
+            records, consumed = _scan_buffer(buf, verify, lib, path)
+            yield from records
+            if not data:
+                # EOF: anything unconsumed is a truncated tail — stop silently,
+                # matching TF RecordReader behavior on partial final records
+                return
+            if consumed:
+                buf = buf[consumed:]
+            # consumed == 0 with more data: record straddles the chunk
+            # boundary (or exceeds chunk_bytes) — keep reading, buf grows
 
 
 class RecordWriter:

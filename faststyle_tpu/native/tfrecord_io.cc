@@ -75,13 +75,16 @@ long fs_scan_records(const uint8_t* buf, size_t n, long* offsets,
                      long* lengths, long max_records, int verify) {
   size_t pos = 0;
   long count = 0;
-  while (pos + 12 <= n && count < max_records) {
+  while (pos + 16 <= n && count < max_records) {
     uint64_t len;
     std::memcpy(&len, buf + pos, 8);
     uint32_t len_crc;
     std::memcpy(&len_crc, buf + pos + 8, 4);
     if (mask(crc32c(buf + pos, 8)) != len_crc) return -1;
-    if (pos + 12 + len + 4 > n) break;  // truncated tail
+    // subtraction form: `pos + 12 + len + 4 > n` can wrap for a corrupt
+    // near-2^64 length (the length CRC only proves the 8 bytes are
+    // self-consistent, not sane); pos + 16 <= n holds per the loop condition
+    if (len > n - pos - 16) break;  // truncated tail
     if (verify) {
       uint32_t data_crc;
       std::memcpy(&data_crc, buf + pos + 12 + len, 4);

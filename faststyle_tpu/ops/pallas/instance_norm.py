@@ -112,7 +112,9 @@ def instance_norm_pallas(
     sum_c = sums.reshape(n, groups, c).sum(axis=1)
     sq_c = sqs.reshape(n, groups, c).sum(axis=1)
     mean_c = sum_c / count
-    var_c = sq_c / count - mean_c * mean_c
+    # one-pass E[x^2] - mu^2 can cancel below -eps for near-constant
+    # high-magnitude maps (see ops/packed.py masked-IN note) — clamp at 0
+    var_c = jnp.maximum(sq_c / count - mean_c * mean_c, 0.0)
     rstd_c = jax.lax.rsqrt(var_c + eps)
     mean = jnp.tile(mean_c, (1, groups)).reshape(n, 1, 1, cc)
     rstd = jnp.tile(rstd_c, (1, groups)).reshape(n, 1, 1, cc)

@@ -2,8 +2,9 @@
 
 The reference saves full-graph TF checkpoints every `num_steps_ckpt` and a
 final weights-only checkpoint (train.py:224-225, 256-259, 286) but has no
-resume path. Here both periodic state (params + Adam state + step, via
-orbax) and the final weights-only `.npz` are first-class, and `restore_latest`
+resume path. Here both periodic state (params + Adam state + step, as a
+flat treepath-keyed `.npz` in an atomically-renamed step dir) and the final
+weights-only `.npz` are first-class, and `restore_latest`
 gives real crash-resume — the framework's failure-recovery story
 (SURVEY.md §5).
 """
@@ -70,6 +71,11 @@ def restore(ckpt_dir: str | Path, step: int, template: TrainState) -> TrainState
         arr = data[key]
         if arr.shape != np.shape(tmpl):
             raise ValueError(f"checkpoint leaf {key} shape {arr.shape} != template {np.shape(tmpl)}")
+        tmpl_dtype = np.result_type(tmpl)
+        if arr.dtype != tmpl_dtype:
+            raise ValueError(
+                f"checkpoint leaf {key} dtype {arr.dtype} != template {tmpl_dtype}"
+            )
         leaves.append(jax.numpy.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -57,6 +57,26 @@ def test_record_roundtrip(tmp_path):
     assert list(tfrecord.iter_records(path, verify=True)) == payloads
 
 
+def test_streaming_reads_bounded(tmp_path):
+    """iter_records must stream: records straddling chunk boundaries (and
+    records larger than a whole chunk) come back intact with tiny chunks."""
+    path = tmp_path / "big.tfrecord"
+    rng = np.random.default_rng(7)
+    payloads = [rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+                for n in (1, 4000, 70000, 3, 150000, 0, 9000)]
+    with tfrecord.RecordWriter(path) as w:
+        for p in payloads:
+            w.write(p)
+    # 64 KiB chunks: the 70K/150K records exceed a chunk; others straddle
+    got = list(tfrecord.iter_records(path, verify=True, chunk_bytes=64 * 1024))
+    assert got == payloads
+    # truncated tail is dropped silently (TF RecordReader behavior)
+    raw = path.read_bytes()
+    path.write_bytes(raw[:-5])
+    got = list(tfrecord.iter_records(path, verify=True, chunk_bytes=64 * 1024))
+    assert got == payloads[:-1]
+
+
 def test_corrupt_record_detected(tmp_path):
     path = tmp_path / "bad.tfrecord"
     with tfrecord.RecordWriter(path) as w:
