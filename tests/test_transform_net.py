@@ -76,6 +76,20 @@ def test_golden_parity_512_packed_path(starry_params):
     assert score >= 0.99, f"SSIM {score}"
 
 
+@pytest.mark.parametrize("model", ["starry", "candy"])
+def test_golden_parity_native_size_ragged(model):
+    """chicago.jpg at its native 474x712 (H % 4 != 0): the ragged packed path
+    must reproduce the TF geometry (476-row output) and the TF pixels. This is
+    the newest, riskiest path — pin the PERF.md SSIM claim as a test."""
+    params = load_params(WEIGHTS / f"{model}_final.npz")
+    golden = image_io.imread(ASSETS / f"{model}_chicago_tf_oracle.png")
+    x = jnp.asarray(image_io.imread(ASSETS / "chicago.jpg"), jnp.float32)[None]
+    out = np.asarray(transform_net.apply(params, x, layout="packed"))[0]
+    assert out.shape == golden.shape, (out.shape, golden.shape)
+    score = ssim(np.clip(out, 0, 255), golden)
+    assert score >= 0.99, f"SSIM {score}"
+
+
 @pytest.mark.parametrize("hw", [(64, 64), (88, 96), (128, 72), (66, 70), (59, 83), (50, 47)])
 def test_packed_matches_naive(starry_params, hw):
     rng = np.random.default_rng(1)
