@@ -151,7 +151,7 @@ def main():
     }
     if not args.skip_train:
         details["train_steps_per_sec_b4_256"] = round(
-            bench_train_step(5 if args.quick else 30, args.precision), 3
+            bench_train_step(20 if args.quick else 100, args.precision), 3
         )
         rate = bench_slow_style(20 if args.quick else 100, args.precision)
         details["slow_style_steps_per_sec_256"] = round(rate, 2)

@@ -182,7 +182,46 @@ _G_S2 = {
 }
 
 
-def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Array:
+def _s2_geom(p_in: int, l: int) -> PK.AxisGeom:
+    # TF SAME k3 s2: pad_total = 1 for even l, 2 for odd -> pad_lo 0 / 1
+    return _G_S2[(p_in, 0 if l % 2 == 0 else 1)]
+
+
+def pack_all_kernels(params: Params, h: int, w: int, dtype) -> Dict[str, jax.Array]:
+    """Pack every conv kernel for input size (h, w) ONCE. Hoisted out of the
+    per-sample body so batched execution (lax.map) neither re-packs per
+    sample nor re-differentiates the packing per sample (the packing VJP
+    then runs once per step, not once per sample)."""
+    cd = PK.ceil_div
+    pk: Dict[str, jax.Array] = {}
+    lh, lw = h + 80, w + 80
+    pk["initconv_0"] = PK.pack_kernel(
+        params["initconv_0"]["W"].astype(dtype), _G_INIT0, _G_INIT0
+    )
+    pk["initconv_1"] = PK.pack_kernel(
+        params["initconv_1"]["W"].astype(dtype), _s2_geom(4, lh), _s2_geom(4, lw)
+    )
+    lh, lw = cd(lh, 2), cd(lw, 2)
+    pk["initconv_2"] = PK.pack_kernel(
+        params["initconv_2"]["W"].astype(dtype), _s2_geom(2, lh), _s2_geom(2, lw)
+    )
+    for i in range(_NUM_RESBLOCKS):
+        blk = params[f"resblock_{i}"]
+        pk[f"resblock_{i}_1"] = PK.pack_kernel(blk["W1"].astype(dtype), _G_RES, _G_RES)
+        pk[f"resblock_{i}_2"] = PK.pack_kernel(blk["W2"].astype(dtype), _G_RES, _G_RES)
+    for i, c_out in ((0, 32), (1, 16)):
+        phase = L.upsample_phase_kernel(params[f"upsample_{i}"]["W"]).astype(dtype)
+        ku = PK.pack_kernel(phase, _G_UP, _G_UP)
+        pk[f"upsample_{i}"] = PK.permute_upsample_out(ku, p_out=2, phase=2, c_real=c_out)
+    pk["upsample_2"] = PK.pack_kernel(
+        params["upsample_2"]["W"].astype(dtype), _G_FINAL, _G_FINAL
+    )
+    return pk
+
+
+def apply_packed(
+    params: Params, x: jax.Array, *, compute_dtype=None, batch_mode: str = "map"
+) -> jax.Array:
     """Space-to-depth execution of the 'resize' net: one pack at the input,
     one repack mid-upsampling, one unpack at the output; every conv runs on a
     packed grid with 48..512-wide channel dims (see ops.packed). Exact
@@ -207,14 +246,25 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
     """
     orig_dtype = x.dtype
     n, h, w, _ = x.shape
-    if n > 1:
+    dtype = compute_dtype if compute_dtype is not None else x.dtype
+    pk = pack_all_kernels(params, h, w, dtype)
+    if n > 1 and batch_mode == "map":
         # XLA schedules the packed convs markedly worse with a batch dim
-        # (measured 2.8x/frame at 1080p b=2, 1.8x at 256px b=4); sequential
-        # per-sample execution reuses the well-tiled b=1 program. Instance
-        # norm is per-sample anyway, so this changes nothing semantically.
+        # (measured 2.8x/frame at 1080p b=2; H-folding measured no better —
+        # docs/PERF.md); sequential per-sample execution reuses the
+        # well-tiled b=1 program. Instance norm is per-sample anyway, so
+        # this changes nothing semantically. pk is loop-invariant: its
+        # gradient accumulates across iterations inside the scan.
         return jax.lax.map(
-            lambda img: apply_packed(params, img[None], compute_dtype=compute_dtype)[0], x
-        )
+            lambda img: _apply_packed_one(pk, params, img[None], compute_dtype)[0], x
+        ).astype(orig_dtype)
+    return _apply_packed_one(pk, params, x, compute_dtype).astype(orig_dtype)
+
+
+def _apply_packed_one(
+    pk: Dict[str, jax.Array], params: Params, x: jax.Array, compute_dtype
+) -> jax.Array:
+    n, h, w, _ = x.shape
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 
@@ -235,43 +285,38 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
             t = L.relu(t)
         return PK.zero_tail(t, p, c, lh, lw)
 
-    def conv(z, kernel_w, gh, gw, p_out, c_out, lh_out, lw_out):
+    def conv(z, kernel, gh, gw, p_out, c_out, lh_out, lw_out):
         """Packed conv emitting exactly ceil(l_out/p_out) blocks; tail
         positions (computed from valid data) are re-zeroed to keep the
         zero-tail invariant every SAME read depends on. zero_tail is a
         static no-op when the extent is aligned."""
-        k = PK.pack_kernel(kernel_w.astype(z.dtype), gh, gw)
-        z = PK.conv2d_packed(z, k, gh, gw, (cd(lh_out, p_out), cd(lw_out, p_out)))
+        z = PK.conv2d_packed(z, kernel, gh, gw, (cd(lh_out, p_out), cd(lw_out, p_out)))
         return PK.zero_tail(z, p_out, c_out, lh_out, lw_out)
-
-    def s2_geom(p_in, l):
-        # TF SAME k3 s2: pad_total = 1 for even l, 2 for odd -> pad_lo 0 / 1
-        return _G_S2[(p_in, 0 if l % 2 == 0 else 1)]
 
     lh, lw = h + 80, w + 80
     z = PK.pad_pack(L.reflect_pad(x, 40), 4)  # zero tails by construction
 
     blk = params["initconv_0"]  # 9x9 s1 SAME: logical size unchanged
-    z = conv(z, blk["W"], _G_INIT0, _G_INIT0, 4, 16, lh, lw)
+    z = conv(z, pk["initconv_0"], _G_INIT0, _G_INIT0, 4, 16, lh, lw)
     z = norm(z, blk, 4, 16, lh, lw)
 
     blk = params["initconv_1"]  # 3x3 s2 SAME -> half res, p=2
-    prev_h, prev_w = lh, lw
+    gh1, gw1 = _s2_geom(4, lh), _s2_geom(4, lw)
     lh, lw = cd(lh, 2), cd(lw, 2)
-    z = conv(z, blk["W"], s2_geom(4, prev_h), s2_geom(4, prev_w), 2, 32, lh, lw)
+    z = conv(z, pk["initconv_1"], gh1, gw1, 2, 32, lh, lw)
     z = norm(z, blk, 2, 32, lh, lw)
 
     blk = params["initconv_2"]  # 3x3 s2 SAME -> quarter res, p=2
-    prev_h, prev_w = lh, lw
+    gh2, gw2 = _s2_geom(2, lh), _s2_geom(2, lw)
     lh, lw = cd(lh, 2), cd(lw, 2)
-    z = conv(z, blk["W"], s2_geom(2, prev_h), s2_geom(2, prev_w), 2, 64, lh, lw)
+    z = conv(z, pk["initconv_2"], gh2, gw2, 2, 64, lh, lw)
     z = norm(z, blk, 2, 64, lh, lw)
 
     for i in range(_NUM_RESBLOCKS):
         blk = params[f"resblock_{i}"]
-        r = conv(z, blk["W1"], _G_RES, _G_RES, 2, 64, lh - 2, lw - 2)
+        r = conv(z, pk[f"resblock_{i}_1"], _G_RES, _G_RES, 2, 64, lh - 2, lw - 2)
         r = norm(r, blk, 2, 64, lh - 2, lw - 2, "1")
-        r = conv(r, blk["W2"], _G_RES, _G_RES, 2, 64, lh - 4, lw - 4)
+        r = conv(r, pk[f"resblock_{i}_2"], _G_RES, _G_RES, 2, 64, lh - 4, lw - 4)
         r = norm(r, blk, 2, 64, lh - 4, lw - 4, "2", relu=False)
         # crop 1 packed px/side == the 2 full-res px crop; the skip slice can
         # carry one extra valid row/col in its tail — the add re-masks it
@@ -281,11 +326,8 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
 
     for i, c_out in ((0, 32), (1, 16)):
         blk = params[f"upsample_{i}"]
-        phase = L.upsample_phase_kernel(blk["W"]).astype(z.dtype)  # [2,2,cin,4*cout]
-        ku = PK.pack_kernel(phase, _G_UP, _G_UP)
-        ku = PK.permute_upsample_out(ku, p_out=2, phase=2, c_real=c_out)
         lh, lw = 2 * lh, 2 * lw  # net 2x upsample; output p=4 on the finer grid
-        z = PK.conv2d_packed(z, ku, _G_UP, _G_UP, (cd(lh, 4), cd(lw, 4)))
+        z = PK.conv2d_packed(z, pk[f"upsample_{i}"], _G_UP, _G_UP, (cd(lh, 4), cd(lw, 4)))
         z = PK.zero_tail(z, 4, c_out, lh, lw)
         z = norm(z, blk, 4, c_out, lh, lw)
         if i == 0:
@@ -295,11 +337,10 @@ def apply_packed(params: Params, x: jax.Array, *, compute_dtype=None) -> jax.Arr
             z = PK.pad_pack(z, 2)
 
     blk = params["upsample_2"]  # 9x9 s1 SAME at full resolution
-    z = conv(z, blk["W"], _G_FINAL, _G_FINAL, 4, 3, lh, lw)
+    z = conv(z, pk["upsample_2"], _G_FINAL, _G_FINAL, 4, 3, lh, lw)
     z = norm(z, blk, 4, 3, lh, lw, relu=False)
     z = L.scaled_tanh(z)
-    out = PK.unpack_nhwc(z, 4, 3)[:, :lh, :lw, :]
-    return out.astype(orig_dtype)
+    return PK.unpack_nhwc(z, 4, 3)[:, :lh, :lw, :]
 
 
 def num_params(params: Params) -> int:
