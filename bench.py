@@ -132,12 +132,121 @@ def bench_slow_style(steps=100, precision="float32"):
     return (s1 - s0) / (t1 - t0)
 
 
+def bench_dp_scaling(steps=10):
+    """Per-chip train-step time at 1/2/4/8-way data-parallel sharding
+    (BASELINE config #5's "measure & record scaling"). Weak scaling: the
+    per-chip batch is fixed, so ideal efficiency keeps the step time flat
+    while global batch grows with the mesh.
+
+    Runs on the real device set when >1 accelerators are attached; with a
+    single chip (this environment) it falls back to an 8-virtual-device CPU
+    mesh — that measures the collective/sharding machinery, not ICI, and is
+    labeled as such in the output.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("_FASTSTYLE_DP_CPU"):
+        # re-exec'd child: env vars alone don't override a pinned TPU plugin;
+        # the jax.config platform override must land before backend init
+        # (the dryrun/conftest recipe)
+        jax.config.update("jax_platforms", "cpu")
+    if jax.device_count() < 2:
+        # single chip: re-exec with the platform forced to an 8-virtual-device
+        # CPU mesh (the plugin pins the platform once jax initializes, so a
+        # fresh process is the only way to switch)
+        if os.environ.get("_FASTSTYLE_DP_CPU"):
+            raise SystemExit("dp scaling: CPU re-exec still sees <2 devices")
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+        os.environ["_FASTSTYLE_DP_CPU"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from faststyle_tpu.models import vgg16
+    from faststyle_tpu.parallel.data_parallel import make_dp_train_step
+    from faststyle_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+    from faststyle_tpu.training import slow_style
+    from faststyle_tpu.training.train_step import TrainConfig, init_state
+
+    from faststyle_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = TrainConfig.make()
+    vgg_params = vgg16.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    style = rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32)
+    grams = slow_style.style_target_grams(vgg_params, style, tuple(dict(config.style_weights)))
+
+    per_chip_batch, size = 2, 64
+    results = {}
+    sizes = [n for n in (1, 2, 4, 8) if n <= jax.device_count()]
+    for n in sizes:
+        mesh = Mesh(np.asarray(jax.devices()[:n]), (DATA_AXIS,))
+        step_fn = make_dp_train_step(vgg_params, grams, config, mesh)
+        state = init_state(jax.random.PRNGKey(1), config)
+        batch = rng.uniform(0, 255, (per_chip_batch * n, size, size, 3)).astype(np.float32)
+        batch = jax.device_put(batch, batch_sharding(mesh))
+        state, m = step_fn(state, batch)
+        float(m["loss"])  # compile + hard sync
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m = step_fn(state, batch)
+        float(m["loss"])
+        results[f"{n}way_ms_per_step"] = round(1e3 * (time.perf_counter() - t0) / steps, 2)
+    base = results[f"{sizes[0]}way_ms_per_step"]
+    top = sizes[-1]
+    results["weak_scaling_efficiency"] = round(base / results[f"{top}way_ms_per_step"], 3)
+    results["mesh"] = f"{top}x {jax.devices()[0].platform}"
+    results["per_chip_batch"] = per_chip_batch
+    results["note"] = (
+        "real ICI" if jax.devices()[0].platform == "tpu" else "virtual CPU mesh (machinery, not ICI)"
+    )
+    return results
+
+
+def _dp_subprocess(quick):
+    """Run `bench.py --dp` in a fresh process (the CPU-mesh fallback must
+    force the platform before jax initializes, impossible in-process after
+    the TPU benchmarks ran)."""
+    import subprocess
+
+    cmd = [sys.executable, str(Path(__file__).resolve()), "--dp"]
+    if quick:
+        cmd.append("--quick")
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        return json.loads(out.stdout.strip().splitlines()[-1])["details"]
+    except Exception as e:  # never let the scaling probe sink the headline metric
+        return {"error": f"{type(e).__name__}: {e}"}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_dp", action="store_true")
+    parser.add_argument("--dp", action="store_true", help="DP-scaling measurement only")
     parser.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"])
     args = parser.parse_args()
+
+    if args.dp:
+        res = bench_dp_scaling(5 if args.quick else 10)
+        eff = res["weak_scaling_efficiency"]
+        print(
+            json.dumps(
+                {
+                    "metric": "dp_weak_scaling_efficiency",
+                    "value": eff,
+                    "unit": "x (1.0 = ideal)",
+                    "vs_baseline": eff,
+                    "details": res,
+                }
+            )
+        )
+        return
 
     from faststyle_tpu.utils.profiling import enable_compilation_cache
 
@@ -156,6 +265,8 @@ def main():
         rate = bench_slow_style(20 if args.quick else 100, args.precision)
         details["slow_style_steps_per_sec_256"] = round(rate, 2)
         details["slow_style_1000step_seconds"] = round(1000 / rate, 1)
+    if not args.skip_dp:
+        details["dp_scaling"] = _dp_subprocess(args.quick)
 
     print(
         json.dumps(
