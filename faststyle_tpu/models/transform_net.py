@@ -255,10 +255,27 @@ def apply_packed(
         # well-tiled b=1 program. Instance norm is per-sample anyway, so
         # this changes nothing semantically. pk is loop-invariant: its
         # gradient accumulates across iterations inside the scan.
-        return jax.lax.map(
-            lambda img: _apply_packed_one(pk, params, img[None], compute_dtype)[0], x
-        ).astype(orig_dtype)
-    return _apply_packed_one(pk, params, x, compute_dtype).astype(orig_dtype)
+        return _cast_out(
+            jax.lax.map(
+                lambda img: _apply_packed_one(pk, params, img[None], compute_dtype)[0], x
+            ),
+            orig_dtype,
+        )
+    return _cast_out(_apply_packed_one(pk, params, x, compute_dtype), orig_dtype)
+
+
+def _cast_out(y: jax.Array, orig_dtype) -> jax.Array:
+    """Cast the unpacked output back to the caller's dtype BEHIND an
+    optimization barrier: without it XLA hoists the f32 convert above the
+    unpack transposes, doubling the bytes those layout copies move (measured
+    9.21 -> 8.60 ms/frame at 1080p). Below ~1 MP the copies fuse anyway and
+    the barrier only adds a materialization (256px: 0.94 -> 1.33 ms), so it
+    is size-gated. Measurements: docs/PERF.md."""
+    if y.dtype == orig_dtype:
+        return y
+    if y.shape[1] * y.shape[2] >= 700_000:
+        y = jax.lax.optimization_barrier(y)
+    return y.astype(orig_dtype)
 
 
 def _apply_packed_one(

@@ -90,10 +90,13 @@ def test_golden_parity_native_size_ragged(model):
     assert score >= 0.99, f"SSIM {score}"
 
 
-@pytest.mark.parametrize("hw", [(64, 64), (88, 96), (128, 72), (66, 70), (59, 83), (50, 47)])
-def test_packed_matches_naive(starry_params, hw):
+@pytest.mark.parametrize(
+    "hw,batch",
+    [((64, 64), 2), ((88, 96), 4), ((128, 72), 2), ((66, 70), 2), ((59, 83), 4), ((50, 47), 2)],
+)
+def test_packed_matches_naive(starry_params, hw, batch):
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.uniform(0, 255, (2, *hw, 3)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (batch, *hw, 3)), jnp.float32)
     naive = np.asarray(transform_net.apply(starry_params, x, layout="naive"))
     fast = np.asarray(transform_net.apply(starry_params, x, layout="packed"))
     np.testing.assert_allclose(fast, naive, atol=5e-2)  # [0,255] scale
