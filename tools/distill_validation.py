@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""End-to-end training validation without VGG weights: teacher distillation.
+
+The reference's core capability is producing a styled transform net by
+training with pretrained-VGG perceptual losses (/root/reference/train.py:
+108-290). This sandbox has zero egress, so `scripts/get_vgg16_weights.sh`
+cannot fetch the 528 MB Frossard checkpoint (DNS resolution fails — see
+docs/TRAINED_MODEL.md). The closest full-recipe validation that remains:
+
+  train a FRESH transform net (reference init distributions, random seed)
+  through the real machinery — data pipeline -> packed forward/backward ->
+  Adam -> checkpoints -> CSV logging — against a pixel L2 loss to the
+  SHIPPED starry teacher (a genuinely VGG-trained artifact). If the
+  optimizer, custom VJPs, and packed gradients are correct, the student
+  must converge to a visually styled model from scratch.
+
+Chicago is held out of the training corpus entirely (see
+tools/make_training_images.py); validation reports student-vs-teacher SSIM
+on it at 256/512/native sizes.
+
+Usage:
+  python tools/make_training_images.py /tmp/train_imgs --num 400
+  python tools/distill_validation.py --image_dir /tmp/train_imgs \
+      --out models/starry_distilled.npz --steps 4000
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from faststyle_tpu.data import pipeline  # noqa: E402
+from faststyle_tpu.inference import load_params  # noqa: E402
+from faststyle_tpu.models import transform_net  # noqa: E402
+from faststyle_tpu.utils import image_io  # noqa: E402
+from faststyle_tpu.utils.metrics import ssim  # noqa: E402
+from faststyle_tpu.utils.profiling import enable_compilation_cache  # noqa: E402
+
+
+def make_distill_step(teacher_params, learn_rate: float, compute_dtype, decay_steps: int = 0):
+    if decay_steps:
+        learn_rate = optax.cosine_decay_schedule(learn_rate, decay_steps, alpha=0.02)
+    opt = optax.adam(learn_rate)
+
+    def step(params, opt_state, batch):
+        target = transform_net.apply(teacher_params, batch, compute_dtype=compute_dtype)
+
+        def loss_fn(p):
+            y = transform_net.apply(p, batch, compute_dtype=compute_dtype)
+            return jnp.mean(jnp.square(y - target))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1)), opt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--image_dir", required=True)
+    ap.add_argument("--teacher", default=str(REPO / "weights/starry_final.npz"))
+    ap.add_argument("--out", default=str(REPO / "models/starry_distilled.npz"))
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--learn_rate", type=float, default=1e-3)
+    ap.add_argument("--log_csv", default="")
+    ap.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    enable_compilation_cache()
+    dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
+
+    teacher = load_params(args.teacher)
+    teacher = {b: {k: jnp.asarray(v) for k, v in s.items()} for b, s in teacher.items()}
+    params = transform_net.init_params(jax.random.PRNGKey(0))
+    step_fn, opt = make_distill_step(teacher, args.learn_rate, dtype, decay_steps=args.steps)
+    opt_state = opt.init(params)
+
+    batcher = pipeline.image_dir_batcher(
+        args.image_dir, args.batch_size, resize_shape=(256, 256), seed=1,
+        min_after_dequeue=1000,
+    )
+    batches = pipeline.device_prefetch(iter(batcher))
+
+    rows = []
+    t0 = time.perf_counter()
+    for i in range(1, args.steps + 1):
+        params, opt_state, loss = step_fn(params, opt_state, next(batches))
+        if i % 100 == 0 or i == 1:
+            loss_v = float(loss)
+            rows.append((i, loss_v, time.perf_counter() - t0))
+            print(f"step {i:5d}  pixel-L2 {loss_v:10.3f}  ({rows[-1][2]:.1f}s)", flush=True)
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    flat = {f"{b}/{k}": np.asarray(v) for b, s in params.items() for k, v in s.items()}
+    np.savez(out, **flat)
+    print(f"saved student model to {out}")
+    if args.log_csv:
+        with open(args.log_csv, "w") as f:
+            f.write("step,pixel_l2,seconds\n")
+            f.writelines(f"{s},{l},{t:.2f}\n" for s, l, t in rows)
+
+    # held-out validation: chicago at multiple sizes, student vs teacher
+    chicago = image_io.imread(REPO / "tests/assets/chicago.jpg").astype(np.float32)
+    for tag, img in (
+        ("256", image_io.imread(REPO / "tests/assets/chicago_crop256.png").astype(np.float32)),
+        ("512", image_io.imread(REPO / "tests/assets/chicago_512.png").astype(np.float32)),
+        ("native", chicago),
+    ):
+        x = jnp.asarray(img)[None]
+        t = np.clip(np.asarray(transform_net.apply(teacher, x, compute_dtype=dtype))[0], 0, 255)
+        s = np.clip(np.asarray(transform_net.apply(params, x, compute_dtype=dtype))[0], 0, 255)
+        print(f"held-out chicago@{tag}: student-vs-teacher SSIM {ssim(s, t):.4f}")
+        if tag == "native":
+            image_io.imwrite("/tmp/distill_student_native.png", s.astype(np.uint8))
+            image_io.imwrite("/tmp/distill_teacher_native.png", t.astype(np.uint8))
+
+
+if __name__ == "__main__":
+    main()
