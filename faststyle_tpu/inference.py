@@ -73,9 +73,13 @@ class Stylizer:
         compute_dtype=None,
         output_uint8: bool = False,
     ):
-        """`output_uint8` clips and casts ON DEVICE, so fetching a stylized
-        frame moves 1/4 the bytes of float32 — the fetch is the serving
-        bottleneck for streaming (especially over remote attachments)."""
+        """`output_uint8` clips and casts ON DEVICE — inside the packed
+        forward, BEFORE the output relayout, so the C=3 boundary copies move
+        1-byte elements (docs/PERF.md) — and fetching a stylized frame moves
+        1/4 the bytes of float32; the fetch is the serving bottleneck for
+        streaming (especially over remote attachments). uint8 *input* frames
+        (what cameras/decoders produce) are likewise packed in uint8 and
+        cast on device."""
         if params is None:
             if model_path is None:
                 raise ValueError("need model_path or params")
@@ -84,14 +88,16 @@ class Stylizer:
             jax.tree.map(jnp.asarray, params)
         )
         self._method = upsample_method
+        self._output_uint8 = output_uint8
 
         def fwd(p, x):
-            y = transform_net.apply(
-                p, x, upsample_method=upsample_method, compute_dtype=compute_dtype
+            return transform_net.apply(
+                p,
+                x,
+                upsample_method=upsample_method,
+                compute_dtype=compute_dtype,
+                output_dtype=jnp.uint8 if output_uint8 else None,
             )
-            if output_uint8:
-                y = jnp.clip(y, 0, 255).astype(jnp.uint8)
-            return y
 
         self._fn = jax.jit(fwd)
 
@@ -101,18 +107,32 @@ class Stylizer:
 
     def stylize_batch(self, imgs: jax.Array | np.ndarray) -> jax.Array:
         """NHWC RGB [0,255] -> stylized NHWC [0,255] (device array; float32,
-        or uint8 with output_uint8=True)."""
-        imgs = jnp.asarray(imgs, dtype=jnp.float32)
+        or uint8 with output_uint8=True). With output_uint8, uint8 inputs are
+        fed to the device as-is (4x smaller transfer + 1-byte input relayout);
+        otherwise inputs are cast to float32 to keep the output contract."""
+        imgs = jnp.asarray(imgs)
+        if not (self._output_uint8 and imgs.dtype == jnp.uint8):
+            imgs = imgs.astype(jnp.float32)
         return self._fn(self._params, imgs)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """Single HWC image (uint8 or float RGB) -> stylized HWC uint8."""
-        out = self.stylize_batch(np.asarray(img, dtype=np.float32)[None])
+        img = np.asarray(img)
+        if not (self._output_uint8 and img.dtype == np.uint8):
+            img = img.astype(np.float32)
+        out = self.stylize_batch(img[None])
         out = np.asarray(out[0])
         if out.dtype == np.uint8:
             return out
         return np.clip(out, 0, 255).astype(np.uint8)
 
     def warmup(self, height: int, width: int) -> None:
-        """Pre-compile for a given input shape (streaming cold-start control)."""
-        self.stylize_batch(np.zeros((1, height, width, 3), np.float32)).block_until_ready()
+        """Pre-compile for a given input shape (streaming cold-start control).
+        Warms the dtype signature the serving loop will hit: uint8 frames
+        when output_uint8 (the streaming contract), else float32."""
+        dt = np.uint8 if self._output_uint8 else np.float32
+        out = self.stylize_batch(np.zeros((1, height, width, 3), dt))
+        # hard sync via a value fetch: on tunneled runtimes (axon)
+        # block_until_ready can return while compile+execute are still in
+        # flight, which would bill the whole compile to the first real frame
+        np.asarray(out[:, 0, 0, 0])

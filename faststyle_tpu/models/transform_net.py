@@ -113,6 +113,7 @@ def apply(
     fused_upsample: bool = True,
     compute_dtype=None,
     layout: str = "auto",
+    output_dtype=None,
 ) -> jax.Array:
     """Forward pass. `x`: NHWC, RGB in [0,255]; returns same shape in [0,255].
 
@@ -124,16 +125,27 @@ def apply(
     runs the literal resize-then-conv formulation for cross-checking.
     `compute_dtype` (e.g. jnp.bfloat16) casts activations for the conv stack;
     instance-norm statistics and the final tanh always run in float32.
+    `output_dtype=jnp.uint8` clips to [0,255] and casts ON DEVICE; on the
+    packed path the cast lands BEFORE the unpack relayout, so the C=3
+    boundary copies (the 1080p bottleneck — docs/PERF.md) move 1-byte
+    elements. uint8 input is likewise packed in uint8 and cast to the
+    compute dtype afterwards (0..255 integers are exact in bf16, so this
+    changes no math). Defaults to uint8-in -> uint8-out, float-in -> same
+    float out.
     """
     assert upsample_method in UPSAMPLE_METHODS
     assert layout in ("auto", "packed", "naive")
+    if output_dtype is None and x.dtype == jnp.uint8:
+        output_dtype = jnp.uint8
     if layout == "packed" or (
         layout == "auto" and packed_layout_supported(x.shape[1], x.shape[2], upsample_method)
     ):
-        return apply_packed(params, x, compute_dtype=compute_dtype)
+        return apply_packed(
+            params, x, compute_dtype=compute_dtype, output_dtype=output_dtype
+        )
     orig_dtype = x.dtype
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
+    if compute_dtype is not None or orig_dtype == jnp.uint8:
+        x = x.astype(compute_dtype if compute_dtype is not None else jnp.float32)
 
     h = L.reflect_pad(x, 40)
     for i, (_k, _ci, _co, s) in enumerate(_INIT_SPECS):
@@ -165,6 +177,8 @@ def apply(
     else:
         h = L.conv2d(h, blk["W"], stride=1, padding="SAME")
     h = L.scaled_tanh(L.instance_norm(h, blk["INscale"], blk["INshift"]))
+    if output_dtype == jnp.uint8:
+        return jnp.clip(h, 0, 255).astype(jnp.uint8)
     return h.astype(orig_dtype)
 
 
@@ -220,7 +234,12 @@ def pack_all_kernels(params: Params, h: int, w: int, dtype) -> Dict[str, jax.Arr
 
 
 def apply_packed(
-    params: Params, x: jax.Array, *, compute_dtype=None, batch_mode: str = "map"
+    params: Params,
+    x: jax.Array,
+    *,
+    compute_dtype=None,
+    batch_mode: str = "map",
+    output_dtype=None,
 ) -> jax.Array:
     """Space-to-depth execution of the 'resize' net: one pack at the input,
     one repack mid-upsampling, one unpack at the output; every conv runs on a
@@ -246,7 +265,11 @@ def apply_packed(
     """
     orig_dtype = x.dtype
     n, h, w, _ = x.shape
-    dtype = compute_dtype if compute_dtype is not None else x.dtype
+    if orig_dtype == jnp.uint8 and output_dtype is None:
+        output_dtype = jnp.uint8
+    dtype = compute_dtype if compute_dtype is not None else (
+        jnp.float32 if orig_dtype == jnp.uint8 else x.dtype
+    )
     pk = pack_all_kernels(params, h, w, dtype)
     if n > 1 and batch_mode == "map":
         # XLA schedules the packed convs markedly worse with a batch dim
@@ -257,21 +280,30 @@ def apply_packed(
         # gradient accumulates across iterations inside the scan.
         return _cast_out(
             jax.lax.map(
-                lambda img: _apply_packed_one(pk, params, img[None], compute_dtype)[0], x
+                lambda img: _apply_packed_one(
+                    pk, params, img[None], dtype, output_dtype
+                )[0],
+                x,
             ),
             orig_dtype,
+            output_dtype,
         )
-    return _cast_out(_apply_packed_one(pk, params, x, compute_dtype), orig_dtype)
+    return _cast_out(
+        _apply_packed_one(pk, params, x, dtype, output_dtype), orig_dtype, output_dtype
+    )
 
 
-def _cast_out(y: jax.Array, orig_dtype) -> jax.Array:
+def _cast_out(y: jax.Array, orig_dtype, output_dtype=None) -> jax.Array:
     """Cast the unpacked output back to the caller's dtype BEHIND an
     optimization barrier: without it XLA hoists the f32 convert above the
     unpack transposes, doubling the bytes those layout copies move (measured
     9.21 -> 8.60 ms/frame at 1080p). Below ~1 MP the copies fuse anyway and
     the barrier only adds a materialization (256px: 0.94 -> 1.33 ms), so it
-    is size-gated. Measurements: docs/PERF.md."""
-    if y.dtype == orig_dtype:
+    is size-gated. Measurements: docs/PERF.md.
+
+    With output_dtype=uint8 the clip+cast already happened pre-unpack inside
+    _apply_packed_one (the whole point: 1-byte relayouts) — nothing to do."""
+    if output_dtype == jnp.uint8 or y.dtype == orig_dtype:
         return y
     if y.shape[1] * y.shape[2] >= 700_000:
         y = jax.lax.optimization_barrier(y)
@@ -279,11 +311,12 @@ def _cast_out(y: jax.Array, orig_dtype) -> jax.Array:
 
 
 def _apply_packed_one(
-    pk: Dict[str, jax.Array], params: Params, x: jax.Array, compute_dtype
+    pk: Dict[str, jax.Array], params: Params, x: jax.Array, dtype, output_dtype=None
 ) -> jax.Array:
     n, h, w, _ = x.shape
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
+    input_u8 = x.dtype == jnp.uint8
+    if not input_u8 and x.dtype != dtype:
+        x = x.astype(dtype)
 
     cd = PK.ceil_div
 
@@ -311,7 +344,12 @@ def _apply_packed_one(
         return PK.zero_tail(z, p_out, c_out, lh_out, lw_out)
 
     lh, lw = h + 80, w + 80
+    # uint8 input stays uint8 through the pad+pack relayout (1-byte copies —
+    # the input boundary cost at 1080p, docs/PERF.md) and casts after; 0..255
+    # integers are exact in bf16/f32, so the cast position changes no math.
     z = PK.pad_pack(L.reflect_pad(x, 40), 4)  # zero tails by construction
+    if input_u8:
+        z = z.astype(dtype)
 
     blk = params["initconv_0"]  # 9x9 s1 SAME: logical size unchanged
     z = conv(z, pk["initconv_0"], _G_INIT0, _G_INIT0, 4, 16, lh, lw)
@@ -357,6 +395,11 @@ def _apply_packed_one(
     z = conv(z, pk["upsample_2"], _G_FINAL, _G_FINAL, 4, 3, lh, lw)
     z = norm(z, blk, 4, 3, lh, lw, relu=False)
     z = L.scaled_tanh(z)
+    if output_dtype == jnp.uint8:
+        # clip+cast BEFORE the unpack so the boundary relayout moves 1-byte
+        # elements (the reference clips on host, stylize_image.py:76; same
+        # truncating semantics)
+        z = jnp.clip(z, 0, 255).astype(jnp.uint8)
     return PK.unpack_nhwc(z, 4, 3)[:, :lh, :lw, :]
 
 

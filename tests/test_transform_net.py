@@ -158,3 +158,35 @@ def test_deconv_variant_runs():
     params = transform_net.init_params(jax.random.PRNGKey(1), "deconv")
     out = transform_net.apply(params, jnp.zeros((1, 32, 32, 3)), upsample_method="deconv")
     assert out.shape == (1, 32, 32, 3)
+
+
+@pytest.mark.parametrize("layout", ["packed", "naive"])
+def test_uint8_io_matches_float_path(starry_params, layout):
+    """uint8-in/uint8-out (the streaming contract: cast lands before the
+    output relayout on the packed path) must equal the float path's
+    clip+cast. 0..255 integers are exact in f32/bf16, so the only tolerated
+    drift is truncation-boundary flips from program-level fusion noise."""
+    rng = np.random.default_rng(3)
+    x8 = jnp.asarray(rng.integers(0, 256, (1, 61, 77, 3), dtype=np.uint8))
+    ref = np.asarray(
+        transform_net.apply(starry_params, x8.astype(jnp.float32), layout=layout)
+    )
+    ref = np.clip(ref, 0, 255).astype(np.uint8)
+    out = np.asarray(transform_net.apply(starry_params, x8, layout=layout))
+    assert out.dtype == np.uint8
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+
+def test_uint8_io_batched_and_explicit_output_dtype(starry_params):
+    rng = np.random.default_rng(4)
+    x8 = jnp.asarray(rng.integers(0, 256, (3, 48, 52, 3), dtype=np.uint8))
+    out = np.asarray(transform_net.apply(starry_params, x8))
+    assert out.dtype == np.uint8 and out.shape == x8.shape
+    # float input, explicit uint8 output: exact vs post-hoc clip+cast
+    xf = x8.astype(jnp.float32)
+    want = np.clip(np.asarray(transform_net.apply(starry_params, xf)), 0, 255)
+    got = np.asarray(
+        transform_net.apply(starry_params, xf, output_dtype=jnp.uint8)
+    )
+    np.testing.assert_array_equal(got, want.astype(np.uint8))
