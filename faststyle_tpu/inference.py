@@ -51,6 +51,35 @@ def load_params(model_path: str | Path) -> Dict:
     raise FileNotFoundError(f"no model found at {model_path} (.index / .npz)")
 
 
+def unpack_u8_host(packed: np.ndarray, height: int, width: int, p: int = 4, c: int = 3) -> np.ndarray:
+    """Host-side depth-to-space for `output_layout='packed_u8'` stylizer
+    output: [N, Hb, Wb, p*p*c] uint8 -> [N, height, width, c] uint8.
+
+    Uses the native C++ kernel (native/depth_to_space.cc) when available —
+    ctypes releases the GIL, so batched frames can unpack on worker threads
+    while the device computes the next frame — with a pure-numpy fallback.
+    """
+    packed = np.ascontiguousarray(packed)
+    n, hb, wb, cc = packed.shape
+    assert cc == p * p * c and height <= hb * p and width <= wb * p
+    from faststyle_tpu import native
+
+    lib = native.load()
+    if lib is not None:
+        out = np.empty((n, height, width, c), np.uint8)
+        for i in range(n):
+            lib.fs_unpack_u8(
+                packed[i].ctypes.data, out[i].ctypes.data, hb, wb, p, c, height, width
+            )
+        return out
+    full = (
+        packed.reshape(n, hb, wb, p, p, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, hb * p, wb * p, c)
+    )
+    return np.ascontiguousarray(full[:, :height, :width, :])
+
+
 def save_params(model_path: str | Path, params: Dict) -> None:
     """Save params as the native flat `.npz` container."""
     flat = {f"{blk}/{var}": np.asarray(arr) for blk, sub in params.items() for var, arr in sub.items()}
@@ -72,6 +101,7 @@ class Stylizer:
         upsample_method: str = "resize",
         compute_dtype=None,
         output_uint8: bool = False,
+        packed_output: bool = False,
     ):
         """`output_uint8` clips and casts ON DEVICE — inside the packed
         forward, BEFORE the output relayout, so the C=3 boundary copies move
@@ -79,7 +109,13 @@ class Stylizer:
         1/4 the bytes of float32; the fetch is the serving bottleneck for
         streaming (especially over remote attachments). uint8 *input* frames
         (what cameras/decoders produce) are likewise packed in uint8 and
-        cast on device."""
+        cast on device.
+
+        `packed_output` (implies output_uint8) additionally skips the
+        device-side output relayout: stylize_batch returns the packed uint8
+        tensor [N, ceil(H/4), ceil(W/4), 48]; convert with
+        `unpack_u8_host(out, H, W)` (native C++ depth-to-space), overlapping
+        host interleave with the next frame's device compute."""
         if params is None:
             if model_path is None:
                 raise ValueError("need model_path or params")
@@ -88,9 +124,21 @@ class Stylizer:
             jax.tree.map(jnp.asarray, params)
         )
         self._method = upsample_method
-        self._output_uint8 = output_uint8
+        self._output_uint8 = output_uint8 or packed_output
+        self._packed_output = packed_output
+        if packed_output and upsample_method != "resize":
+            raise ValueError("packed_output requires the packed path ('resize' models)")
+        output_uint8 = self._output_uint8
 
         def fwd(p, x):
+            if packed_output:
+                return transform_net.apply_packed(
+                    p,
+                    x,
+                    compute_dtype=compute_dtype,
+                    output_dtype=jnp.uint8,
+                    output_layout="packed_u8",
+                )
             return transform_net.apply(
                 p,
                 x,
@@ -121,6 +169,8 @@ class Stylizer:
         if not (self._output_uint8 and img.dtype == np.uint8):
             img = img.astype(np.float32)
         out = self.stylize_batch(img[None])
+        if self._packed_output:
+            return unpack_u8_host(np.asarray(out), img.shape[0], img.shape[1])[0]
         out = np.asarray(out[0])
         if out.dtype == np.uint8:
             return out

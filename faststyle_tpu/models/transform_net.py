@@ -240,6 +240,7 @@ def apply_packed(
     compute_dtype=None,
     batch_mode: str = "map",
     output_dtype=None,
+    output_layout: str = "nhwc",
 ) -> jax.Array:
     """Space-to-depth execution of the 'resize' net: one pack at the input,
     one repack mid-upsampling, one unpack at the output; every conv runs on a
@@ -267,6 +268,9 @@ def apply_packed(
     n, h, w, _ = x.shape
     if orig_dtype == jnp.uint8 and output_dtype is None:
         output_dtype = jnp.uint8
+    assert output_layout in ("nhwc", "packed_u8")
+    if output_layout == "packed_u8":
+        assert output_dtype == jnp.uint8, "packed_u8 output implies uint8"
     dtype = compute_dtype if compute_dtype is not None else (
         jnp.float32 if orig_dtype == jnp.uint8 else x.dtype
     )
@@ -281,7 +285,7 @@ def apply_packed(
         return _cast_out(
             jax.lax.map(
                 lambda img: _apply_packed_one(
-                    pk, params, img[None], dtype, output_dtype
+                    pk, params, img[None], dtype, output_dtype, output_layout
                 )[0],
                 x,
             ),
@@ -289,7 +293,9 @@ def apply_packed(
             output_dtype,
         )
     return _cast_out(
-        _apply_packed_one(pk, params, x, dtype, output_dtype), orig_dtype, output_dtype
+        _apply_packed_one(pk, params, x, dtype, output_dtype, output_layout),
+        orig_dtype,
+        output_dtype,
     )
 
 
@@ -311,9 +317,27 @@ def _cast_out(y: jax.Array, orig_dtype, output_dtype=None) -> jax.Array:
 
 
 def _apply_packed_one(
-    pk: Dict[str, jax.Array], params: Params, x: jax.Array, dtype, output_dtype=None
+    pk: Dict[str, jax.Array],
+    params: Params,
+    x: jax.Array,
+    dtype,
+    output_dtype=None,
+    output_layout: str = "nhwc",
+    in_norm=None,
+    pre_padded: bool = False,
 ) -> jax.Array:
+    """`in_norm`: optional override for the instance-norm statistic pass,
+    `(t, scale, shift, p, lh, lw) -> normalized t`. Used by
+    parallel.spatial to psum interval-masked moments across a mesh (the
+    window's local extents lh/lw are what the override needs to map its own
+    global bookkeeping onto). None = the standard masked single-device IN.
+
+    `pre_padded`: x already carries the 40px reflect pad (parallel.spatial
+    slices shard windows out of a globally padded image); skip padding and
+    treat x's extents as the padded ones."""
     n, h, w, _ = x.shape
+    if pre_padded:
+        h, w = h - 80, w - 80
     input_u8 = x.dtype == jnp.uint8
     if not input_u8 and x.dtype != dtype:
         x = x.astype(dtype)
@@ -323,14 +347,18 @@ def _apply_packed_one(
     def norm(t, blk, p, c, lh, lw, sfx="", relu=True):
         """IN with masked counts on ragged tensors; the affine shift makes
         the zero tail nonzero, so re-zero it (static no-op when aligned)."""
-        aligned = t.shape[1] * p == lh and t.shape[2] * p == lw
-        t = PK.instance_norm_packed(
-            t,
-            blk["INscale" + sfx],
-            blk["INshift" + sfx],
-            p,
-            valid_hw=None if aligned else (lh, lw),
-        )
+        scale, shift = blk["INscale" + sfx], blk["INshift" + sfx]
+        if in_norm is not None:
+            t = in_norm(t, scale, shift, p, lh, lw)
+        else:
+            aligned = t.shape[1] * p == lh and t.shape[2] * p == lw
+            t = PK.instance_norm_packed(
+                t,
+                scale,
+                shift,
+                p,
+                valid_hw=None if aligned else (lh, lw),
+            )
         if relu:
             t = L.relu(t)
         return PK.zero_tail(t, p, c, lh, lw)
@@ -347,7 +375,7 @@ def _apply_packed_one(
     # uint8 input stays uint8 through the pad+pack relayout (1-byte copies —
     # the input boundary cost at 1080p, docs/PERF.md) and casts after; 0..255
     # integers are exact in bf16/f32, so the cast position changes no math.
-    z = PK.pad_pack(L.reflect_pad(x, 40), 4)  # zero tails by construction
+    z = PK.pad_pack(x if pre_padded else L.reflect_pad(x, 40), 4)  # zero tails by construction
     if input_u8:
         z = z.astype(dtype)
 
@@ -400,6 +428,12 @@ def _apply_packed_one(
         # elements (the reference clips on host, stylize_image.py:76; same
         # truncating semantics)
         z = jnp.clip(z, 0, 255).astype(jnp.uint8)
+        if output_layout == "packed_u8":
+            # skip the device-side unpack entirely (~1.4 ms/frame at 1080p,
+            # shuffle-bound): the host interleaves via the native
+            # depth-to-space (inference.unpack_u8_host), overlapped with the
+            # next frame's device compute
+            return z
     return PK.unpack_nhwc(z, 4, 3)[:, :lh, :lw, :]
 
 

@@ -28,10 +28,15 @@ def load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not _LIB_PATH.exists():
+            try:
+                # no-op when up to date; rebuilds a stale .so after source
+                # changes (the shipped binary may predate new entry points)
                 subprocess.run(
                     ["make", "-s"], cwd=_DIR, check=True, capture_output=True, timeout=120
                 )
+            except Exception:
+                if not _LIB_PATH.exists():
+                    raise
             lib = ctypes.CDLL(str(_LIB_PATH))
             lib.fs_masked_crc32c.restype = ctypes.c_uint32
             lib.fs_masked_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
@@ -49,6 +54,17 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p,
                 ctypes.c_size_t,
                 ctypes.c_char_p,
+            ]
+            lib.fs_unpack_u8.restype = None
+            lib.fs_unpack_u8.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_long,
             ]
             _lib = lib
         except Exception:

@@ -55,7 +55,20 @@ def run(n_devices: int) -> None:
     out = stylizer.stylize_batch(batch[: n_devices + 1])  # non-divisible batch too
     assert out.shape == (n_devices + 1, size, size, 3), out.shape
     assert np.isfinite(out).all()
+
+    # spatially-partitioned single-image inference: rows sharded over the
+    # mesh, instance-norm moments psum'd over ICI (parallel/spatial.py)
+    from faststyle_tpu.parallel.spatial import SpatialStylizer
+
+    big_h = 48 * n_devices  # aligned (H % (4n) == 0) with window room
+    big = np.random.default_rng(2).uniform(0, 255, (big_h, 40, 3)).astype(np.float32)
+    spatial = SpatialStylizer(state.params, mesh, halo=16)
+    s_out = spatial(big)
+    assert s_out.shape == big.shape, s_out.shape
+    assert np.isfinite(s_out).all()
+    assert spatial.shards_for(big_h) == n_devices
     print(
         f"[dryrun] {n_devices}-device mesh OK: train loss {loss:.4f}, "
-        f"sharded inference {out.shape}"
+        f"sharded inference {out.shape}, spatial {s_out.shape} "
+        f"({n_devices}-way rows)"
     )

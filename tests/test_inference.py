@@ -64,3 +64,35 @@ def test_profiling_helpers_smoke():
     t.start()
     t.step()
     assert t.rate() > 0
+
+
+def test_unpack_u8_host_native_matches_numpy(monkeypatch):
+    """Native depth-to-space == numpy reference, aligned and ragged."""
+    from faststyle_tpu import native
+    from faststyle_tpu.inference import unpack_u8_host
+
+    rng = np.random.default_rng(0)
+    for h, w in ((64, 96), (59, 83), (61, 128)):
+        hb, wb = -(-h // 4), -(-w // 4)
+        packed = rng.integers(0, 256, (2, hb, wb, 48), dtype=np.uint8)
+        got = unpack_u8_host(packed, h, w)
+        monkeypatch.setattr(native, "load", lambda: None)
+        want = unpack_u8_host(packed, h, w)
+        monkeypatch.undo()
+        assert got.shape == (2, h, w, 3)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_stylizer_packed_output_matches_plain(chicago_crop256):
+    from faststyle_tpu.inference import unpack_u8_host
+
+    plain = Stylizer(ROOT / "models" / "starry_final.npz", output_uint8=True)
+    packed = Stylizer(ROOT / "models" / "starry_final.npz", packed_output=True)
+    img = chicago_crop256.astype(np.uint8)
+    want = np.asarray(plain.stylize_batch(img[None]))
+    raw = np.asarray(packed.stylize_batch(img[None]))
+    assert raw.shape == (1, 64, 64, 48)
+    got = unpack_u8_host(raw, 256, 256)
+    np.testing.assert_array_equal(got, want)
+    # __call__ convenience path unpacks internally
+    np.testing.assert_array_equal(packed(img), want[0])

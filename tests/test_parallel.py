@@ -107,3 +107,72 @@ def test_graft_dryrun():
     from faststyle_tpu.parallel import dryrun
 
     dryrun.run(8)
+
+
+# ---------------------------------------------------------------------------
+# spatially-partitioned single-image inference (parallel/spatial.py)
+
+
+@pytest.fixture(scope="module")
+def starry():
+    from faststyle_tpu.inference import load_params
+    from pathlib import Path
+
+    return load_params(Path(__file__).parent.parent / "weights" / "starry_final.npz")
+
+
+def _single(params, img):
+    return np.asarray(transform_net.apply(params, jnp.asarray(img)[None], layout="packed"))[0]
+
+
+def test_spatial_matches_single_device(starry):
+    """8-way row sharding with psum'd IN stats == single-device forward."""
+    from faststyle_tpu.parallel.spatial import SpatialStylizer
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (256, 96, 3)).astype(np.float32)  # 256 = 8*32
+    out = SpatialStylizer(starry, mesh_lib.data_mesh())(img)
+    np.testing.assert_allclose(out, _single(starry, img), atol=5e-2)
+
+
+def test_spatial_ragged_width(starry):
+    from faststyle_tpu.parallel.spatial import SpatialStylizer
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (256, 83, 3)).astype(np.float32)
+    out = SpatialStylizer(starry, mesh_lib.data_mesh())(img)
+    np.testing.assert_allclose(out, _single(starry, img), atol=5e-2)
+
+
+def test_spatial_halo_floor(starry):
+    """The documented contamination bound: halo 16 is exact (the default 24
+    carries margin); halo 8 must leak — if it doesn't, the bound analysis
+    is stale and DEFAULT_HALO can shrink."""
+    from faststyle_tpu.parallel.spatial import SpatialStylizer
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    ref = _single(starry, img)
+    ok = SpatialStylizer(starry, mesh_lib.data_mesh(), halo=16)(img)
+    np.testing.assert_allclose(ok, ref, atol=5e-2)
+    leaky = SpatialStylizer(starry, mesh_lib.data_mesh(), halo=8)(img)
+    assert np.abs(leaky - ref).max() > 0.5
+
+
+def test_spatial_auto_shard_reduction(starry):
+    """Misaligned heights shard at the largest exact n' instead of
+    approximating (4K's 2160 rows -> 6-way on an 8 mesh; prime-ish -> 1)."""
+    from faststyle_tpu.parallel.spatial import SpatialStylizer
+
+    s = SpatialStylizer(starry, mesh_lib.data_mesh())
+    assert s.shards_for(2160) == 6 and s.shards_for(4320) == 8
+    assert s.shards_for(120) == 6
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (120, 64, 3)).astype(np.float32)
+    np.testing.assert_allclose(s(img), _single(starry, img), atol=5e-2)
+    # no aligned n at all -> exact single-device fallback (any H)
+    img2 = rng.uniform(0, 255, (122, 64, 3)).astype(np.float32)
+    out2 = s(img2)
+    ref2 = _single(starry, img2)
+    assert s.shards_for(122) == 1
+    np.testing.assert_allclose(out2, ref2, atol=5e-2)
