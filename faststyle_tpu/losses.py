@@ -26,21 +26,36 @@ import jax
 import jax.numpy as jnp
 
 
-def gram_matrix(feats: jax.Array) -> jax.Array:
+def gram_matrix(feats) -> jax.Array:
     """[b,h,w,c] -> [b,c,c] normalized Gram, accumulated in float32.
 
     On TPU, large feature maps route through the Pallas kernel
     (ops.pallas.gram — fused normalization, measured ~1.3x over the XLA
     einsum at hw >= 16K); small maps and other backends use the einsum.
+
+    Accepts vgg16.PackedActivation (space-to-depth block-1 features,
+    [b,h',w',4c]): the packed Gram G_big [4c,4c] is computed on the MXU as
+    usual — its normalizer h'·w'·4c equals the real h·w·c — and the real
+    Gram is the sum of its 4 diagonal c x c phase blocks (exactly the
+    reference Gram, summed in a different position order).
     """
+    phases = 1
+    if hasattr(feats, "data"):  # vgg16.PackedActivation
+        phases = type(feats).PHASES
+        feats = feats.data
     b, h, w, c = feats.shape
     if h * w >= 16384 and jax.default_backend() == "tpu":
         from faststyle_tpu.ops.pallas.gram import gram_matrix_pallas
 
-        return gram_matrix_pallas(feats)
-    f = feats.reshape(b, h * w, c)
-    g = jnp.einsum("bnc,bnd->bcd", f, f, preferred_element_type=jnp.float32)
-    return g / jnp.float32(h * w * c)
+        g = gram_matrix_pallas(feats)
+    else:
+        f = feats.reshape(b, h * w, c)
+        g = jnp.einsum("bnc,bnd->bcd", f, f, preferred_element_type=jnp.float32)
+        g = g / jnp.float32(h * w * c)
+    if phases > 1:
+        cr = c // phases
+        g = jnp.einsum("bpcpd->bcd", g.reshape(b, phases, cr, phases, cr))
+    return g
 
 
 def content_loss(
@@ -50,8 +65,13 @@ def content_loss(
 ) -> jax.Array:
     total = jnp.float32(0)
     for name, weight in weights.items():
-        act = layers[name].astype(jnp.float32)
-        tgt = targets[name].astype(jnp.float32)
+        act, tgt = layers[name], targets[name]
+        if hasattr(act, "data"):  # vgg16.PackedActivation: packed-to-packed
+            # elementwise diff is a position permutation of the real one,
+            # and h'·w'·4c == the real h·w·c normalizer
+            act, tgt = act.data, tgt.data
+        act = act.astype(jnp.float32)
+        tgt = tgt.astype(jnp.float32)
         _, h, w, c = act.shape
         total += weight * jnp.sum(jnp.square(act - tgt)) / jnp.float32(h * w * c)
     return total

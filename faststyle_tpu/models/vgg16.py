@@ -16,13 +16,26 @@ identical to the `.npz` the reference downloads, so loading is a key-rename.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from faststyle_tpu.ops import layers as L
+
+
+class PackedActivation(NamedTuple):
+    """A block-1 activation in p=2 space-to-depth layout, [n, h/2, w/2, 4c]
+    with channels ordered (dy, dx, c). Returned by apply(loss_layout=True)
+    for conv1_1/conv1_2 so no relayout is paid: the perceptual losses are
+    position-permutation-invariant, and losses.gram_matrix/content_loss
+    consume this form exactly (Gram = diagonal phase-block fold of the
+    packed Gram; elementwise losses compare packed-to-packed directly)."""
+
+    data: jax.Array
+
+    PHASES = 4  # p=2 -> 2x2 phase groups (class attr, not a pytree leaf)
 
 # ImageNet channel means, reference libs/vgg16.py:41
 _MEAN_RGB = (123.68, 116.779, 103.939)
@@ -53,12 +66,22 @@ def apply(
     layers: Optional[Iterable[str]] = None,
     *,
     compute_dtype=None,
+    loss_layout: bool = False,
 ) -> Dict[str, jax.Array]:
     """Run the tower on NHWC RGB [0,255]; return {layer: activation}.
 
     `layers` selects which activations the caller needs; compute stops after
     the deepest one. None returns every conv/pool activation.
-    """
+
+    `loss_layout=True` runs block 1 space-to-depth packed (p=2): conv1_*'s
+    Cin=3/N=64 starve the 128-wide MXU (measured: block 1 takes half the
+    VGG forward for 14% of its FLOPs); packing lifts them to K=1024/N=256
+    (block-1 fwd+bwd measured 3.8 -> 2.5 ms at b4@256 bf16). pool1 then
+    becomes an exact max over the 4 phase groups, landing block 2 back in
+    the normal layout; conv1_1/conv1_2 activations are returned as
+    PackedActivation (no relayout paid — losses fold Grams and compare
+    elementwise in packed form, both exactly). Opt-in for the loss paths
+    (training/slow_style), NOT the default feature-extraction contract."""
     wanted = set(layers) if layers is not None else set(LAYER_ORDER)
     unknown = wanted - set(LAYER_ORDER)
     if unknown:
@@ -70,20 +93,50 @@ def apply(
         h = h.astype(compute_dtype)
 
     acts: Dict[str, jax.Array] = {}
+
+    def done(idx):
+        return (
+            {k: v for k, v in acts.items() if k in wanted} if layers is not None else acts
+        )
+
     idx = 0
-    for gi, group in enumerate(_GROUPS, start=1):
+    start_group = 1
+    if loss_layout and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        from faststyle_tpu.ops import packed as PK
+
+        n, hh, ww = h.shape[0], h.shape[1] // 2, h.shape[2] // 2
+        g = PK.axis_geom(p_in=2, p_out=2, stride=1, k=3, pad_lo=1)  # SAME k3
+        z = PK.pad_pack(h, 2)  # even sizes: no tail
+        for name in ("conv1_1", "conv1_2"):
+            p = params[name]
+            k = PK.pack_kernel(p["W"].astype(h.dtype), g, g)
+            z = PK.conv2d_packed(z, k, g, g, (hh, ww))
+            z = L.relu(z + jnp.tile(p["b"], 4).astype(z.dtype))
+            acts[name] = PackedActivation(z)
+            if idx == deepest:
+                return done(idx)
+            idx += 1
+        # pool1 == max over the (dy,dx) phase groups: exact and relayout-free
+        h = jnp.max(z.reshape(n, hh, ww, 4, 64), axis=3)
+        acts["pool1"] = h
+        if idx == deepest:
+            return done(idx)
+        idx += 1
+        start_group = 2
+
+    for gi, group in enumerate(_GROUPS[start_group - 1 :], start=start_group):
         for name in group:
             p = params[name]
             h = L.conv2d(h, p["W"], stride=1, padding="SAME")
             h = L.relu(h + p["b"].astype(h.dtype))
             acts[name] = h
             if idx == deepest:
-                return {k: v for k, v in acts.items() if k in wanted} if layers is not None else acts
+                return done(idx)
             idx += 1
         h = L.max_pool_2x2_same(h)
         acts[f"pool{gi}"] = h
         if idx == deepest:
-            return {k: v for k, v in acts.items() if k in wanted} if layers is not None else acts
+            return done(idx)
         idx += 1
     return acts
 

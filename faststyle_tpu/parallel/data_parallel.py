@@ -46,14 +46,20 @@ def make_dp_train_step(vgg_params, target_grams: Mapping[str, jax.Array], config
 
     def local_step(state: TrainState, batch: jax.Array):
         tgt_content = vgg16.apply(
-            vgg_params, batch, content_layers, compute_dtype=config.compute_dtype
+            vgg_params,
+            batch,
+            content_layers,
+            compute_dtype=config.compute_dtype,
+            loss_layout=True,
         )
 
         def loss_fn(params):
             y = transform_net.apply(
                 params, batch, config.upsample_method, compute_dtype=config.compute_dtype
             )
-            acts = vgg16.apply(vgg_params, y, all_layers, compute_dtype=config.compute_dtype)
+            acts = vgg16.apply(
+                vgg_params, y, all_layers, compute_dtype=config.compute_dtype, loss_layout=True
+            )
             total, parts = losses.perceptual_loss(
                 acts, tgt_content, target_grams, content_w, style_w, y, config.beta
             )

@@ -35,7 +35,7 @@ def style_target_grams(
 
     @jax.jit
     def grams(params, img):
-        acts = vgg16.apply(params, img, style_layers)
+        acts = vgg16.apply(params, img, style_layers, loss_layout=True)
         return {l: losses.gram_matrix(acts[l]) for l in style_layers}
 
     return grams(vgg_params, jnp.asarray(style_img, jnp.float32))
@@ -46,7 +46,7 @@ def content_targets(
 ) -> Dict[str, jax.Array]:
     @jax.jit
     def feats(params, img):
-        return vgg16.apply(params, img, content_layers)
+        return vgg16.apply(params, img, content_layers, loss_layout=True)
 
     return feats(vgg_params, jnp.asarray(content_img, jnp.float32))
 
@@ -88,7 +88,9 @@ def optimize(
     opt_state = opt.init(pixels)
 
     def loss_fn(px):
-        acts = vgg16.apply(vgg_params, px, all_layers, compute_dtype=compute_dtype)
+        acts = vgg16.apply(
+            vgg_params, px, all_layers, compute_dtype=compute_dtype, loss_layout=True
+        )
         total, _parts = losses.perceptual_loss(
             acts, tgt_content, tgt_grams, content_weights, style_weights, px, beta
         )

@@ -91,14 +91,24 @@ def make_train_step(vgg_params, target_grams: Mapping[str, jax.Array], config: T
     def train_step(state: TrainState, batch: jax.Array):
         # content targets = VGG features of the RAW batch (stop-grad by constr.)
         tgt_content = vgg16.apply(
-            vgg_params, batch, content_layers, compute_dtype=config.compute_dtype
+            vgg_params,
+            batch,
+            content_layers,
+            compute_dtype=config.compute_dtype,
+            loss_layout=True,
         )
 
         def loss_fn(params):
             y = transform_net.apply(
                 params, batch, config.upsample_method, compute_dtype=config.compute_dtype
             )
-            acts = vgg16.apply(vgg_params, y, all_layers, compute_dtype=config.compute_dtype)
+            acts = vgg16.apply(
+                vgg_params,
+                y,
+                all_layers,
+                compute_dtype=config.compute_dtype,
+                loss_layout=True,
+            )
             total, parts = losses.perceptual_loss(
                 acts, tgt_content, target_grams, content_w, style_w, y, config.beta
             )

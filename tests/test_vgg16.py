@@ -95,3 +95,55 @@ def test_load_npz_schema(tmp_path):
     assert "fc6" not in params
     np.testing.assert_array_equal(params["conv3_2"]["W"], data["conv3_2_W"])
     np.testing.assert_array_equal(params["conv5_3"]["b"], data["conv5_3_b"])
+
+
+def test_loss_layout_packed_block1(params):
+    """loss_layout=True: pool1+ exactly match, block-1 activations come back
+    as PackedActivation whose folded Gram and elementwise losses equal the
+    naive tower's (position-permutation invariance)."""
+    from faststyle_tpu import losses
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (2, 64, 96, 3)), jnp.float32)
+    want = ("conv1_2", "pool1", "conv2_2", "conv3_3")
+    a0 = vgg16.apply(params, x, want)
+    a1 = vgg16.apply(params, x, want, loss_layout=True)
+    for l in ("pool1", "conv2_2", "conv3_3"):
+        np.testing.assert_allclose(np.asarray(a1[l]), np.asarray(a0[l]), atol=2e-2)
+    assert isinstance(a1["conv1_2"], vgg16.PackedActivation)
+    g0 = np.asarray(losses.gram_matrix(a0["conv1_2"]))
+    g1 = np.asarray(losses.gram_matrix(a1["conv1_2"]))
+    assert g0.shape == g1.shape
+    np.testing.assert_allclose(g1, g0, rtol=1e-4, atol=1e-4)
+    # content loss packed-to-packed == naive-to-naive (same normalizer)
+    y = jnp.asarray(rng.uniform(0, 255, (2, 64, 96, 3)), jnp.float32)
+    b0 = vgg16.apply(params, y, ("conv1_2",))
+    b1 = vgg16.apply(params, y, ("conv1_2",), loss_layout=True)
+    w = {"conv1_2": 1.0}
+    c0 = float(losses.content_loss(a0, b0, w))
+    c1 = float(losses.content_loss(a1, b1, w))
+    np.testing.assert_allclose(c1, c0, rtol=1e-5)
+
+
+def test_loss_layout_odd_size_falls_back(params):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 63, 96, 3)), jnp.float32)
+    a = vgg16.apply(params, x, ("conv1_2",), loss_layout=True)
+    assert not isinstance(a["conv1_2"], vgg16.PackedActivation)
+    assert a["conv1_2"].shape == (1, 63, 96, 64)
+
+
+def test_loss_layout_gradients_finite(params):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 32, 32, 3)), jnp.float32)
+
+    def f(xx):
+        from faststyle_tpu import losses
+
+        acts = vgg16.apply(params, xx, ("conv1_2", "conv2_2"), loss_layout=True)
+        return jnp.sum(losses.gram_matrix(acts["conv1_2"]) ** 2) + jnp.sum(
+            acts["conv2_2"] ** 2
+        )
+
+    g = jax.grad(f)(x)
+    assert bool(jnp.isfinite(g).all())
