@@ -60,6 +60,40 @@ def bench_inference(frames, precision="bfloat16"):
     return fps_1080, fps_512
 
 
+def bench_packed_output(frames=60):
+    """Serving fast path: uint8 frames in, packed-u8 out (device skips the
+    final boundary relayout — docs/PERF.md), native host depth-to-space.
+    Reports device-side frame time (independent dispatches, single sync)
+    and the host unpack cost that overlaps it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from faststyle_tpu.inference import Stylizer, unpack_u8_host
+
+    s = Stylizer(
+        model_path=Path(__file__).parent / "weights" / "starry_final.npz",
+        compute_dtype=jnp.bfloat16,
+        packed_output=True,
+    )
+    rng = np.random.default_rng(0)
+    x = jax.device_put(rng.integers(0, 256, (1, 1080, 1920, 3), dtype=np.uint8))
+    reduce_fn = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
+    out = s.stylize_batch(x)
+    float(reduce_fn(out))
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        out = s.stylize_batch(x)
+    float(reduce_fn(out))
+    device_fps = frames / (time.perf_counter() - t0)
+    raw = np.asarray(out)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        unpack_u8_host(raw, 1080, 1920)
+    host_ms = (time.perf_counter() - t0) / 10 * 1e3
+    return round(device_fps, 2), round(host_ms, 2)
+
+
 def bench_train_step(steps=20, precision="float32"):
     """Train step/sec at the reference recipe shapes (batch 4 @ 256px),
     synthetic data, random VGG (weights don't change the math's cost)."""
@@ -273,6 +307,10 @@ def main():
         "stylize_512px_fps": round(fps_512, 2),
         "precision": args.precision,
     }
+    if args.precision == "bfloat16":
+        dev_fps, host_ms = bench_packed_output(frames)
+        details["stylize_1080p_fps_packed_u8_serving"] = dev_fps
+        details["packed_u8_host_unpack_ms"] = host_ms
     if not args.skip_train:
         details["train_steps_per_sec_b4_256"] = round(
             bench_train_step(20 if args.quick else 100, args.precision), 3

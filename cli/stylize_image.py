@@ -63,6 +63,13 @@ def setup_parser():
         type=int,
         help="Max images per device batch in --input_dir mode.",
     )
+    parser.add_argument(
+        "--spatial",
+        action="store_true",
+        help="Shard ONE giant image's rows across all chips "
+        "(parallel.spatial; 'resize' models). Requires multiple devices to "
+        "help; auto-falls back to single-device for misaligned heights.",
+    )
     return parser
 
 
@@ -125,13 +132,29 @@ def main():
     img = image_io.imread(args.input_img_path)
     img = image_io.imresize(img, args.content_target_resize)
 
-    stylizer = Stylizer(
-        model_path=args.model_path,
-        upsample_method=args.upsample_method,
-        compute_dtype=dtype,
-    )
-    print("Evaluating...")
-    out = stylizer(img)
+    if args.spatial:
+        import numpy as np
+
+        from faststyle_tpu.inference import load_params
+        from faststyle_tpu.parallel import mesh as mesh_lib
+        from faststyle_tpu.parallel.spatial import SpatialStylizer
+
+        if args.upsample_method != "resize":
+            raise SystemExit("--spatial requires a 'resize' model")
+        stylizer = SpatialStylizer(
+            load_params(args.model_path), mesh_lib.data_mesh(), compute_dtype=dtype
+        )
+        n = stylizer.shards_for(img.shape[0])
+        print(f"Evaluating ({n}-way row sharding)...")
+        out = np.clip(stylizer(img), 0, 255).astype(np.uint8)
+    else:
+        stylizer = Stylizer(
+            model_path=args.model_path,
+            upsample_method=args.upsample_method,
+            compute_dtype=dtype,
+        )
+        print("Evaluating...")
+        out = stylizer(img)
     print("Saving image.")
     Path(args.output_img_path).parent.mkdir(parents=True, exist_ok=True)
     image_io.imwrite(args.output_img_path, out)

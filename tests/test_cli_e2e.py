@@ -132,3 +132,32 @@ def test_stylize_webcam_synthetic_cli(monkeypatch, capsys):
         monkeypatch,
     )
     assert "fps" in capsys.readouterr().out
+
+
+def test_stylize_image_spatial(tmp_path, monkeypatch):
+    """--spatial shards one frame's rows over the 8-device test mesh and
+    matches the plain single-device CLI output."""
+    from faststyle_tpu.utils import image_io
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "in.png"
+    image_io.imwrite(src, rng.integers(0, 256, (128, 96, 3), dtype=np.uint8))
+    out_a = tmp_path / "spatial.png"
+    out_b = tmp_path / "plain.png"
+    model = str(ROOT / "models" / "starry_final.npz")
+    _run(
+        "stylize_image",
+        ["--input_img_path", str(src), "--output_img_path", str(out_a),
+         "--model_path", model, "--spatial"],
+        monkeypatch,
+    )
+    _run(
+        "stylize_image",
+        ["--input_img_path", str(src), "--output_img_path", str(out_b),
+         "--model_path", model],
+        monkeypatch,
+    )
+    a = image_io.imread(out_a).astype(int)
+    b = image_io.imread(out_b).astype(int)
+    assert a.shape == (128, 96, 3)
+    assert np.abs(a - b).max() <= 1  # truncation-boundary flips only
