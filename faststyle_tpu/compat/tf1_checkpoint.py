@@ -267,3 +267,129 @@ def load_transform_net_params(prefix: str | Path, scope: str = "img_t_net"):
     if not params:
         raise ValueError(f"no '{scope}/*' variables found in {prefix}")
     return params
+
+
+# ---------------------------------------------------------------------------
+# TF1 tensor_bundle WRITER — the inverse direction: models trained in this
+# framework export to the reference's checkpoint format, so its TF1 stack
+# (Saver.restore in stylize_image.py:62-64) can load them unchanged.
+# ---------------------------------------------------------------------------
+
+_NP_TO_TF = {np.dtype(k): v for v, k in _TF_DTYPES.items() if k is not np.bytes_}
+
+
+def _write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_handle(offset: int, size: int) -> bytes:
+    return _write_varint(offset) + _write_varint(size)
+
+
+def _build_block(items) -> bytes:
+    """LevelDB block: no prefix compression (shared=0 is always valid), one
+    restart point. `items` = sorted (key, value) byte pairs."""
+    body = bytearray()
+    for key, value in items:
+        body += _write_varint(0) + _write_varint(len(key)) + _write_varint(len(value))
+        body += key + value
+    body += struct.pack("<I", 0)  # restart[0]
+    body += struct.pack("<I", 1)  # num_restarts
+    return bytes(body)
+
+
+def _append_block(out: bytearray, block: bytes) -> Tuple[int, int]:
+    """Append block + trailer (type 0, masked crc32c of data+type); return
+    its BlockHandle (offset, size). Mirrors leveldb's table_builder."""
+    from faststyle_tpu.data.tfrecord import masked_crc32c
+
+    offset, size = len(out), len(block)
+    out += block
+    out += b"\x00"
+    out += struct.pack("<I", masked_crc32c(block + b"\x00"))
+    return offset, size
+
+
+def _shape_proto(shape) -> bytes:
+    out = b""
+    for d in shape:
+        dim = b"\x08" + _write_varint(int(d))  # Dim.size = field 1 varint
+        out += b"\x12" + _write_varint(len(dim)) + dim  # shape.dim = field 2
+    return out
+
+
+def _entry_proto(arr: np.ndarray, offset: int, crc: int) -> bytes:
+    shp = _shape_proto(arr.shape)
+    out = b"\x08" + _write_varint(_NP_TO_TF[arr.dtype])  # dtype = field 1
+    out += b"\x12" + _write_varint(len(shp)) + shp  # shape = field 2
+    # shard_id (field 3) omitted == 0
+    if offset:
+        out += b"\x20" + _write_varint(offset)  # offset = field 4
+    out += b"\x28" + _write_varint(arr.nbytes)  # size = field 5
+    out += b"\x35" + struct.pack("<I", crc)  # crc32c = field 6, fixed32
+    return out
+
+
+def _header_proto(num_shards: int = 1) -> bytes:
+    version = b"\x08\x01"  # VersionDef.producer = 1
+    return (
+        b"\x08" + _write_varint(num_shards)  # num_shards = field 1
+        # endianness (field 2) omitted == LITTLE
+        + b"\x1a" + _write_varint(len(version)) + version  # version = field 3
+    )
+
+
+def save_checkpoint(prefix: str | Path, tensors: Dict[str, np.ndarray]) -> None:
+    """Write a TF1 V2 checkpoint (`<prefix>.index` +
+    `<prefix>.data-00000-of-00001`) readable by `tf.train.Saver.restore` /
+    `tf.train.load_checkpoint` — and by `load_checkpoint` above. Tensors are
+    laid out in sorted-name order with masked-crc32c entry checksums,
+    matching TF's tensor_bundle writer."""
+    from faststyle_tpu.data.tfrecord import masked_crc32c
+
+    prefix = Path(prefix)
+    prefix.parent.mkdir(parents=True, exist_ok=True)
+    names = sorted(tensors)
+    data = bytearray()
+    items = [(b"", _header_proto())]
+    for name in names:
+        arr = np.ascontiguousarray(tensors[name])
+        if arr.dtype not in _NP_TO_TF:
+            raise ValueError(f"{name}: unsupported dtype {arr.dtype}")
+        raw = arr.tobytes()
+        items.append((name.encode(), _entry_proto(arr, len(data), masked_crc32c(raw))))
+        data += raw
+    prefix.with_name(prefix.name + ".data-00000-of-00001").write_bytes(bytes(data))
+
+    out = bytearray()
+    d_off, d_sz = _append_block(out, _build_block(items))
+    m_off, m_sz = _append_block(out, _build_block([]))  # empty metaindex
+    idx_items = [(items[-1][0], _encode_handle(d_off, d_sz))]
+    i_off, i_sz = _append_block(out, _build_block(idx_items))
+    footer = _encode_handle(m_off, m_sz) + _encode_handle(i_off, i_sz)
+    footer += b"\x00" * (40 - len(footer))
+    footer += struct.pack("<Q", _SSTABLE_MAGIC)
+    out += footer
+    prefix.with_name(prefix.name + ".index").write_bytes(bytes(out))
+
+
+def save_transform_net_params(
+    params, prefix: str | Path, scope: str = "img_t_net"
+) -> None:
+    """Export our params pytree as a reference-named checkpoint
+    (`img_t_net/<block>/<var>`, the SURVEY.md §2.2 variable inventory) —
+    the exact inverse of load_transform_net_params."""
+    tensors = {
+        f"{scope}/{blk}/{var}": np.asarray(arr, np.float32)
+        for blk, sub in params.items()
+        for var, arr in sub.items()
+    }
+    save_checkpoint(prefix, tensors)

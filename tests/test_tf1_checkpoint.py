@@ -8,6 +8,7 @@ import pytest
 from faststyle_tpu.compat import tf1_checkpoint
 
 REF_CKPT = Path("/root/reference/models/starry_final.ckpt")
+ROOT = Path(__file__).parent.parent
 
 pytestmark = pytest.mark.skipif(
     not REF_CKPT.with_name("starry_final.ckpt.index").exists(),
@@ -60,3 +61,47 @@ def test_snappy_roundtrip_via_reference_impl():
     data = bytes([12]) + bytes([(4 - 1) << 2]) + b"abcd" + bytes([((8 - 4) << 2) | 1, 4])
     out = tf1_checkpoint._snappy_decompress(data)
     assert out == b"abcdabcdabcd"
+
+
+def test_writer_roundtrip_self(tmp_path):
+    """save_checkpoint -> load_checkpoint is byte-exact, mixed shapes/dtypes."""
+    rng = np.random.default_rng(0)
+    tensors = {
+        "a/W": rng.standard_normal((3, 3, 4, 8)).astype(np.float32),
+        "a/b": rng.standard_normal((8,)).astype(np.float32),
+        "z/scalar": np.float32(3.25).reshape(()),
+        "m/ints": rng.integers(-5, 5, (7, 2)).astype(np.int32),
+    }
+    tf1_checkpoint.save_checkpoint(tmp_path / "rt.ckpt", tensors)
+    back = tf1_checkpoint.load_checkpoint(tmp_path / "rt.ckpt")
+    assert sorted(back) == sorted(tensors)
+    for k in tensors:
+        np.testing.assert_array_equal(back[k], tensors[k])
+        assert back[k].dtype == tensors[k].dtype
+
+
+def test_writer_transform_net_roundtrip(tmp_path):
+    from faststyle_tpu.inference import load_params
+
+    params = load_params(ROOT / "weights" / "starry_final.npz")
+    tf1_checkpoint.save_transform_net_params(params, tmp_path / "starry.ckpt")
+    back = tf1_checkpoint.load_transform_net_params(tmp_path / "starry.ckpt")
+    for blk, sub in params.items():
+        for var, arr in sub.items():
+            np.testing.assert_array_equal(back[blk][var], np.asarray(arr))
+
+
+def test_writer_readable_by_tensorflow(tmp_path):
+    """The exported bundle loads via TF's own reader (Saver-compatible):
+    the reference's TF1 stack can consume models trained here."""
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(1)
+    tensors = {
+        "img_t_net/initconv_0/W": rng.standard_normal((9, 9, 3, 16)).astype(np.float32),
+        "img_t_net/initconv_0/INscale": np.ones(16, np.float32),
+    }
+    tf1_checkpoint.save_checkpoint(tmp_path / "tfread.ckpt", tensors)
+    reader = tf.train.load_checkpoint(str(tmp_path / "tfread.ckpt"))
+    assert sorted(reader.get_variable_to_shape_map()) == sorted(tensors)
+    for k, v in tensors.items():
+        np.testing.assert_array_equal(reader.get_tensor(k), v)
