@@ -266,7 +266,7 @@ def _dp_subprocess(quick):
     if quick:
         cmd.append("--quick")
     try:
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         return json.loads(out.stdout.strip().splitlines()[-1])["details"]
     except Exception as e:  # never let the scaling probe sink the headline metric
         return {"error": f"{type(e).__name__}: {e}"}
