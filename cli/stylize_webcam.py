@@ -56,6 +56,14 @@ def setup_parser():
     parser.add_argument("--no_display", action="store_true", help="Headless: skip cv2.imshow.")
     parser.add_argument("--precision", choices=["float32", "bfloat16"], default="bfloat16")
     parser.add_argument("--max_frames", type=int, default=-1)
+    parser.add_argument(
+        "--packed_fetch",
+        action="store_true",
+        help="Fetch frames in the device's packed-u8 layout and interleave "
+        "on the host (native C++ depth-to-space, overlapped with the next "
+        "frame's dispatch) — skips the device-side output relayout, the "
+        "largest remaining per-frame cost (docs/PERF.md).",
+    )
     return parser
 
 
@@ -85,7 +93,16 @@ def main():
         upsample_method=args.upsample_method,
         compute_dtype=jnp.bfloat16 if args.precision == "bfloat16" else None,
         output_uint8=True,  # clip+cast on device: 4x smaller frame fetches
+        packed_output=args.packed_fetch,
     )
+    if args.packed_fetch:
+        from faststyle_tpu.inference import unpack_u8_host
+
+        def fetch(styled, h, w):
+            return unpack_u8_host(np.asarray(styled), h, w)
+    else:
+        def fetch(styled, h, w):
+            return np.asarray(styled)
 
     if args.num_synthetic_frames > 0:
         w, h = args.resolution if args.resolution else (800, 600)
@@ -98,10 +115,10 @@ def main():
         for frame in frames:
             out = stylizer.stylize_batch(frame[None])
             if pending is not None:
-                np.asarray(pending)  # fetch previous while current computes
+                fetch(pending, h, w)  # fetch previous while current computes
             pending = out
             count += 1
-        np.asarray(pending)
+        fetch(pending, h, w)
         dt = time.perf_counter() - t0
         print(f"{count} frames in {dt:.3f}s = {count / dt:.2f} fps")
         return
@@ -131,7 +148,7 @@ def main():
 
     def emit(styled) -> bool:
         """Fetch a finished frame, write/display it; True to keep going."""
-        img_out = np.asarray(styled[0])
+        img_out = fetch(styled, y_new, x_new)[0]
         bgr = cv2.cvtColor(img_out, cv2.COLOR_RGB2BGR)
         out_writer.write(bgr)
         if not args.no_display:

@@ -161,3 +161,18 @@ def test_stylize_image_spatial(tmp_path, monkeypatch):
     b = image_io.imread(out_b).astype(int)
     assert a.shape == (128, 96, 3)
     assert np.abs(a - b).max() <= 1  # truncation-boundary flips only
+
+
+def test_stylize_webcam_packed_fetch(monkeypatch, capsys):
+    _run(
+        "stylize_webcam",
+        [
+            "--model_path", str(ROOT / "models/starry_final.npz"),
+            "--num_synthetic_frames", "3",
+            "--resolution", "64", "48",
+            "--precision", "float32",
+            "--packed_fetch",
+        ],
+        monkeypatch,
+    )
+    assert "fps" in capsys.readouterr().out
