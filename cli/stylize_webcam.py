@@ -97,12 +97,16 @@ def main():
     )
     if args.packed_fetch:
         from faststyle_tpu.inference import unpack_u8_host
+        from faststyle_tpu.models import transform_net
 
         def fetch(styled, h, w):
-            return unpack_u8_host(np.asarray(styled), h, w)
+            # the net's shape law can exceed (h, w) by up to 3 px for
+            # non-mult-of-4 capture sizes; crop to the source frame size
+            oh, ow = transform_net.output_shape(h, w)
+            return unpack_u8_host(np.asarray(styled), oh, ow)[:, :h, :w]
     else:
         def fetch(styled, h, w):
-            return np.asarray(styled)
+            return np.asarray(styled)[:, :h, :w]
 
     if args.num_synthetic_frames > 0:
         w, h = args.resolution if args.resolution else (800, 600)

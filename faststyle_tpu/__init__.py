@@ -10,9 +10,9 @@ Public surface:
     faststyle_tpu.models.vgg16           — conv-only VGG16 feature tower
     faststyle_tpu.losses                 — content / style (Gram) / TV losses
     faststyle_tpu.training               — jitted train step + loop + checkpoints
-    faststyle_tpu.parallel               — mesh helpers, DP train, sharded inference
+    faststyle_tpu.parallel               — mesh helpers, DP train, sharded + spatial (row-sharded giant-frame) inference
     faststyle_tpu.data                   — TFRecord codec, dataset writer, input pipeline
-    faststyle_tpu.compat                 — TF1 checkpoint / VGG .npz weight converters
+    faststyle_tpu.compat                 — TF1 checkpoint read AND write / VGG .npz weight converters
     faststyle_tpu.utils                  — image I/O, metrics, profiling
 """
 

@@ -113,9 +113,11 @@ class Stylizer:
 
         `packed_output` (implies output_uint8) additionally skips the
         device-side output relayout: stylize_batch returns the packed uint8
-        tensor [N, ceil(H/4), ceil(W/4), 48]; convert with
-        `unpack_u8_host(out, H, W)` (native C++ depth-to-space), overlapping
-        host interleave with the next frame's device compute."""
+        tensor [N, ceil(OH/4), ceil(OW/4), 48] where (OH, OW) =
+        transform_net.output_shape(H, W) (== (H, W) for mult-of-4 sizes);
+        convert with `unpack_u8_host(out, OH, OW)` (native C++
+        depth-to-space), overlapping host interleave with the next frame's
+        device compute."""
         if params is None:
             if model_path is None:
                 raise ValueError("need model_path or params")
@@ -170,7 +172,8 @@ class Stylizer:
             img = img.astype(np.float32)
         out = self.stylize_batch(img[None])
         if self._packed_output:
-            return unpack_u8_host(np.asarray(out), img.shape[0], img.shape[1])[0]
+            oh, ow = transform_net.output_shape(img.shape[0], img.shape[1])
+            return unpack_u8_host(np.asarray(out), oh, ow)[0]
         out = np.asarray(out[0])
         if out.dtype == np.uint8:
             return out

@@ -98,6 +98,21 @@ def _in_relu(x, blk):  # conv already applied
     return L.relu(L.instance_norm(x, blk["INscale"], blk["INshift"]))
 
 
+def output_shape(h: int, w: int) -> tuple[int, int]:
+    """The net's spatial shape law (matches the reference's resize-upsample
+    rounding, im_transf_net.py:56-70): H -> 4*ceil(ceil((H+80)/2)/2) - 80.
+    Equal to (h, w) whenever both divide 4; up to 3 px larger otherwise.
+    Callers of output_layout='packed_u8' need this extent for
+    inference.unpack_u8_host."""
+
+    def law(x: int) -> int:
+        half = -(-(x + 80) // 2)
+        quarter = -(-half // 2)
+        return 4 * (quarter - 20)
+
+    return law(h), law(w)
+
+
 def packed_layout_supported(h: int, w: int, upsample_method: str = "resize") -> bool:
     """The packed fast path covers the 'resize' net at ANY input size (ragged
     packings carry zeroed tails + masked statistics — see apply_packed);

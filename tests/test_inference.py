@@ -96,3 +96,24 @@ def test_stylizer_packed_output_matches_plain(chicago_crop256):
     np.testing.assert_array_equal(got, want)
     # __call__ convenience path unpacks internally
     np.testing.assert_array_equal(packed(img), want[0])
+
+
+def test_stylizer_packed_output_ragged_size(chicago_crop256):
+    """Ragged H/W: the packed-u8 output carries zero tails; the host unpack
+    crops them exactly."""
+    from faststyle_tpu.inference import unpack_u8_host
+
+    from faststyle_tpu.models import transform_net
+
+    img = chicago_crop256[:250, :243].astype(np.uint8)
+    plain = Stylizer(ROOT / "models" / "starry_final.npz", output_uint8=True)
+    packed = Stylizer(ROOT / "models" / "starry_final.npz", packed_output=True)
+    want = np.asarray(plain.stylize_batch(img[None]))
+    raw = np.asarray(packed.stylize_batch(img[None]))
+    oh, ow = transform_net.output_shape(250, 243)
+    assert (oh, ow) == want.shape[1:3] == (252, 244)  # the net's shape law
+    assert raw.shape == (1, 63, 61, 48)  # ceil(252/4), ceil(244/4)
+    got = unpack_u8_host(raw, oh, ow)
+    np.testing.assert_array_equal(got, want)
+    # __call__ uses the law internally
+    np.testing.assert_array_equal(packed(img), want[0])
