@@ -251,7 +251,9 @@ def bench_dp_scaling(steps=10):
         "real ICI"
         if on_tpu
         else f"virtual CPU mesh on {os.cpu_count()} host cores "
-        "(sharding machinery, not ICI; efficiency normalized for core timesharing)"
+        "(sharding machinery, not ICI; efficiency normalized for core "
+        "timesharing — approximate when XLA intra-op threading lets the "
+        "1-way baseline use several cores)"
     )
     return results
 
@@ -269,7 +271,13 @@ def _dp_subprocess(quick):
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         return json.loads(out.stdout.strip().splitlines()[-1])["details"]
     except Exception as e:  # never let the scaling probe sink the headline metric
-        return {"error": f"{type(e).__name__}: {e}"}
+        err = {"error": f"{type(e).__name__}: {e}"}
+        stderr = getattr(e, "stderr", None) or (
+            out.stderr if "out" in locals() else ""
+        )
+        if stderr:
+            err["stderr_tail"] = stderr[-500:]
+        return err
 
 
 def main():

@@ -126,6 +126,11 @@ def main():
 
     dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
     if args.input_dir:
+        if args.spatial:
+            raise SystemExit(
+                "--spatial shards ONE image's rows; with --input_dir use the "
+                "default batch-sharded mode (images spread across chips)"
+            )
         stylize_directory(args, dtype)
         return
 

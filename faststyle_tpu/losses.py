@@ -25,6 +25,8 @@ from typing import Dict, Mapping, Sequence
 import jax
 import jax.numpy as jnp
 
+from faststyle_tpu.models.vgg16 import PackedActivation
+
 
 def gram_matrix(feats) -> jax.Array:
     """[b,h,w,c] -> [b,c,c] normalized Gram, accumulated in float32.
@@ -40,8 +42,8 @@ def gram_matrix(feats) -> jax.Array:
     reference Gram, summed in a different position order).
     """
     phases = 1
-    if hasattr(feats, "data"):  # vgg16.PackedActivation
-        phases = type(feats).PHASES
+    if isinstance(feats, PackedActivation):
+        phases = PackedActivation.PHASES
         feats = feats.data
     b, h, w, c = feats.shape
     if h * w >= 16384 and jax.default_backend() == "tpu":
@@ -66,7 +68,7 @@ def content_loss(
     total = jnp.float32(0)
     for name, weight in weights.items():
         act, tgt = layers[name], targets[name]
-        if hasattr(act, "data"):  # vgg16.PackedActivation: packed-to-packed
+        if isinstance(act, PackedActivation):  # packed-to-packed:
             # elementwise diff is a position permutation of the real one,
             # and h'·w'·4c == the real h·w·c normalizer
             act, tgt = act.data, tgt.data

@@ -150,6 +150,7 @@ def apply(
     """
     assert upsample_method in UPSAMPLE_METHODS
     assert layout in ("auto", "packed", "naive")
+    assert output_dtype in (None, jnp.uint8), output_dtype
     if output_dtype is None and x.dtype == jnp.uint8:
         output_dtype = jnp.uint8
     if layout == "packed" or (
@@ -283,12 +284,15 @@ def apply_packed(
     n, h, w, _ = x.shape
     if orig_dtype == jnp.uint8 and output_dtype is None:
         output_dtype = jnp.uint8
+    assert output_dtype in (None, jnp.uint8), output_dtype
     assert output_layout in ("nhwc", "packed_u8")
     if output_layout == "packed_u8":
         assert output_dtype == jnp.uint8, "packed_u8 output implies uint8"
     dtype = compute_dtype if compute_dtype is not None else (
         jnp.float32 if orig_dtype == jnp.uint8 else x.dtype
     )
+    assert batch_mode in ("map", "direct")  # direct: the measured-slower
+    # batched program, kept reachable for perf experiments (docs/PERF.md)
     pk = pack_all_kernels(params, h, w, dtype)
     if n > 1 and batch_mode == "map":
         # XLA schedules the packed convs markedly worse with a batch dim

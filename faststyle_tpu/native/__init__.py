@@ -55,6 +55,12 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_size_t,
                 ctypes.c_char_p,
             ]
+            if not hasattr(lib, "fs_unpack_u8"):
+                # stale prebuilt .so without the newer entry point (no
+                # compiler to rebuild): keep the codec symbols working and
+                # let unpack_u8_host use its numpy fallback
+                _lib = lib
+                return _lib
             lib.fs_unpack_u8.restype = None
             lib.fs_unpack_u8.argtypes = [
                 ctypes.c_void_p,
