@@ -94,6 +94,15 @@ def main() -> None:
     )
     batches = pipeline.device_prefetch(iter(batcher))
 
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    def save(p):
+        flat = {f"{b}/{k}": np.asarray(v) for b, s in p.items() for k, v in s.items()}
+        tmp = out.with_suffix(".tmp.npz")
+        np.savez(tmp, **flat)
+        tmp.replace(out)
+
     rows = []
     t0 = time.perf_counter()
     for i in range(1, args.steps + 1):
@@ -102,11 +111,10 @@ def main() -> None:
             loss_v = float(loss)
             rows.append((i, loss_v, time.perf_counter() - t0))
             print(f"step {i:5d}  pixel-L2 {loss_v:10.3f}  ({rows[-1][2]:.1f}s)", flush=True)
+        if i % 2000 == 0:
+            save(params)  # periodic: a tunnel stall mid-run keeps the latest
 
-    out = Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    flat = {f"{b}/{k}": np.asarray(v) for b, s in params.items() for k, v in s.items()}
-    np.savez(out, **flat)
+    save(params)
     print(f"saved student model to {out}")
     if args.log_csv:
         with open(args.log_csv, "w") as f:
