@@ -160,9 +160,12 @@ class Stylizer:
         or uint8 with output_uint8=True). With output_uint8, uint8 inputs are
         fed to the device as-is (4x smaller transfer + 1-byte input relayout);
         otherwise inputs are cast to float32 to keep the output contract."""
-        imgs = jnp.asarray(imgs)
-        if not (self._output_uint8 and imgs.dtype == jnp.uint8):
-            imgs = imgs.astype(jnp.float32)
+        dt = getattr(imgs, "dtype", None)
+        if dt != jnp.float32 and not (self._output_uint8 and dt == jnp.uint8):
+            # single conversion; already-f32 (or servable-u8) arrays pass
+            # through untouched — per-call host overhead is visible at
+            # small-frame rates (~760 vs 890 fps at 512px on a slow host)
+            imgs = jnp.asarray(imgs, jnp.float32)
         return self._fn(self._params, imgs)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
