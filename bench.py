@@ -60,35 +60,49 @@ def bench_inference(frames, precision="bfloat16"):
     return fps_1080, fps_512
 
 
-def bench_packed_output(frames=60):
-    """Serving fast path: uint8 frames in, packed-u8 out (device skips the
-    final boundary relayout — docs/PERF.md), native host depth-to-space.
-    Reports device-side frame time (independent dispatches, single sync)
-    and the host unpack cost that overlaps it."""
+def bench_packed_io(frames=60):
+    """Serving fast path: the host reflect-pads + packs uint8 frames and
+    interleaves the packed-u8 output (native C++, overlapped with device
+    compute via async dispatch); the device runs pure packed compute with
+    NO boundary relayouts (docs/PERF.md). Reports device-side frame time
+    (independent dispatches, single sync) and the overlapping host
+    pack+unpack cost."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from faststyle_tpu.inference import Stylizer, unpack_u8_host
+    from faststyle_tpu.inference import load_params, pack_u8_host, unpack_u8_host
+    from faststyle_tpu.models import transform_net
 
-    s = Stylizer(
-        model_path=Path(__file__).parent / "weights" / "starry_final.npz",
-        compute_dtype=jnp.bfloat16,
-        packed_output=True,
+    params = jax.device_put(
+        jax.tree.map(jnp.asarray, load_params(Path(__file__).parent / "weights" / "starry_final.npz"))
+    )
+    fn = jax.jit(
+        lambda p, v: transform_net.apply_packed(
+            p,
+            v,
+            compute_dtype=jnp.bfloat16,
+            output_dtype=jnp.uint8,
+            output_layout="packed_u8",
+            input_layout="packed_u8",
+            input_hw=(1080, 1920),
+        )
     )
     rng = np.random.default_rng(0)
-    x = jax.device_put(rng.integers(0, 256, (1, 1080, 1920, 3), dtype=np.uint8))
+    img = rng.integers(0, 256, (1, 1080, 1920, 3), dtype=np.uint8)
+    x = jax.device_put(pack_u8_host(img))
     reduce_fn = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
-    out = s.stylize_batch(x)
+    out = fn(params, x)
     float(reduce_fn(out))
     t0 = time.perf_counter()
     for _ in range(frames):
-        out = s.stylize_batch(x)
+        out = fn(params, x)
     float(reduce_fn(out))
     device_fps = frames / (time.perf_counter() - t0)
     raw = np.asarray(out)
     t0 = time.perf_counter()
     for _ in range(10):
+        pack_u8_host(img)
         unpack_u8_host(raw, 1080, 1920)
     host_ms = (time.perf_counter() - t0) / 10 * 1e3
     return round(device_fps, 2), round(host_ms, 2)
@@ -316,9 +330,9 @@ def main():
         "precision": args.precision,
     }
     if args.precision == "bfloat16":
-        dev_fps, host_ms = bench_packed_output(frames)
-        details["stylize_1080p_fps_packed_u8_serving"] = dev_fps
-        details["packed_u8_host_unpack_ms"] = host_ms
+        dev_fps, host_ms = bench_packed_io(frames)
+        details["stylize_1080p_fps_packed_io_serving"] = dev_fps
+        details["packed_io_host_ms_per_frame"] = host_ms
     if not args.skip_train:
         details["train_steps_per_sec_b4_256"] = round(
             bench_train_step(20 if args.quick else 100, args.precision), 3

@@ -94,6 +94,8 @@ def main():
         compute_dtype=jnp.bfloat16 if args.precision == "bfloat16" else None,
         output_uint8=True,  # clip+cast on device: 4x smaller frame fetches
         packed_output=args.packed_fetch,
+        packed_input=args.packed_fetch,  # host packs frames too: the device
+        # skips BOTH boundary relayouts (docs/PERF.md packed-I/O serving)
     )
     if args.packed_fetch:
         from faststyle_tpu.inference import unpack_u8_host

@@ -80,6 +80,38 @@ def unpack_u8_host(packed: np.ndarray, height: int, width: int, p: int = 4, c: i
     return np.ascontiguousarray(full[:, :height, :width, :])
 
 
+def pack_u8_host(imgs: np.ndarray, pad: int = 40, p: int = 4) -> np.ndarray:
+    """Host-side reflect-pad + space-to-depth pack of uint8 RGB frames:
+    [N, H, W, 3] -> [N, ceil((H+2*pad)/p), ceil((W+2*pad)/p), p*p*3].
+
+    The input-side twin of unpack_u8_host: with `packed_input` serving, the
+    device receives frames already in the packed layout and skips the input
+    boundary relayout (docs/PERF.md). Native C++ kernel (GIL released) with
+    a pure-numpy fallback."""
+    imgs = np.ascontiguousarray(imgs)
+    assert imgs.dtype == np.uint8 and imgs.ndim == 4 and imgs.shape[-1] == 3
+    n, h, w, _ = imgs.shape
+    assert h > pad and w > pad, "reflect pad needs H, W > pad"
+    hp, wp = h + 2 * pad, w + 2 * pad
+    hb, wb = -(-hp // p), -(-wp // p)
+    from faststyle_tpu import native
+
+    lib = native.load()
+    if lib is not None and hasattr(lib, "fs_pack_u8") and p == 4:
+        out = np.empty((n, hb, wb, p * p * 3), np.uint8)
+        for i in range(n):
+            lib.fs_pack_u8(imgs[i].ctypes.data, out[i].ctypes.data, h, w, pad)
+        return out
+    padded = np.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    full = np.zeros((n, hb * p, wb * p, 3), np.uint8)
+    full[:, :hp, :wp] = padded
+    return np.ascontiguousarray(
+        full.reshape(n, hb, p, wb, p, 3)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, hb, wb, p * p * 3)
+    )
+
+
 def save_params(model_path: str | Path, params: Dict) -> None:
     """Save params as the native flat `.npz` container."""
     flat = {f"{blk}/{var}": np.asarray(arr) for blk, sub in params.items() for var, arr in sub.items()}
@@ -102,6 +134,7 @@ class Stylizer:
         compute_dtype=None,
         output_uint8: bool = False,
         packed_output: bool = False,
+        packed_input: bool = False,
     ):
         """`output_uint8` clips and casts ON DEVICE — inside the packed
         forward, BEFORE the output relayout, so the C=3 boundary copies move
@@ -117,7 +150,13 @@ class Stylizer:
         transform_net.output_shape(H, W) (== (H, W) for mult-of-4 sizes);
         convert with `unpack_u8_host(out, OH, OW)` (native C++
         depth-to-space), overlapping host interleave with the next frame's
-        device compute."""
+        device compute.
+
+        `packed_input` is the symmetric input-side fast path: stylize_batch
+        takes uint8 NHWC frames, reflect-pads + packs them on the HOST
+        (pack_u8_host, native C++), and the device skips the input boundary
+        relayout too. With both packed flags the device runs pure packed
+        compute — its fastest serving configuration (docs/PERF.md)."""
         if params is None:
             if model_path is None:
                 raise ValueError("need model_path or params")
@@ -126,20 +165,23 @@ class Stylizer:
             jax.tree.map(jnp.asarray, params)
         )
         self._method = upsample_method
-        self._output_uint8 = output_uint8 or packed_output
+        self._output_uint8 = output_uint8 or packed_output or packed_input
         self._packed_output = packed_output
-        if packed_output and upsample_method != "resize":
-            raise ValueError("packed_output requires the packed path ('resize' models)")
+        self._packed_input = packed_input
+        if (packed_output or packed_input) and upsample_method != "resize":
+            raise ValueError("packed I/O requires the packed path ('resize' models)")
         output_uint8 = self._output_uint8
 
-        def fwd(p, x):
-            if packed_output:
+        def fwd(p, x, hw=None):
+            if packed_input or packed_output:
                 return transform_net.apply_packed(
                     p,
                     x,
                     compute_dtype=compute_dtype,
                     output_dtype=jnp.uint8,
-                    output_layout="packed_u8",
+                    output_layout="packed_u8" if packed_output else "nhwc",
+                    input_layout="packed_u8" if packed_input else "nhwc",
+                    input_hw=hw,
                 )
             return transform_net.apply(
                 p,
@@ -149,6 +191,17 @@ class Stylizer:
                 output_dtype=jnp.uint8 if output_uint8 else None,
             )
 
+        if packed_input:
+            # (h, w) is a static arg the packed shape can't disambiguate:
+            # one jitted fn per logical size (shape-cached like everything)
+            self._fns = {}
+
+            def packed_call(x_packed, hw):
+                if hw not in self._fns:
+                    self._fns[hw] = jax.jit(functools.partial(fwd, hw=hw))
+                return self._fns[hw](self._params, x_packed)
+
+            self._packed_call = packed_call
         self._fn = jax.jit(fwd)
 
     @property
@@ -160,6 +213,12 @@ class Stylizer:
         or uint8 with output_uint8=True). With output_uint8, uint8 inputs are
         fed to the device as-is (4x smaller transfer + 1-byte input relayout);
         otherwise inputs are cast to float32 to keep the output contract."""
+        if self._packed_input:
+            imgs = np.asarray(imgs)
+            if imgs.dtype != np.uint8:
+                imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+            packed = pack_u8_host(imgs)
+            return self._packed_call(packed, imgs.shape[1:3])
         dt = getattr(imgs, "dtype", None)
         if dt != jnp.float32 and not (self._output_uint8 and dt == jnp.uint8):
             # single conversion; already-f32 (or servable-u8) arrays pass

@@ -257,6 +257,8 @@ def apply_packed(
     batch_mode: str = "map",
     output_dtype=None,
     output_layout: str = "nhwc",
+    input_layout: str = "nhwc",
+    input_hw: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Space-to-depth execution of the 'resize' net: one pack at the input,
     one repack mid-upsampling, one unpack at the output; every conv runs on a
@@ -281,7 +283,14 @@ def apply_packed(
       upsample_2 (q=3)       full'-res p=4, c=3 -> unpack == [N,H,W,3]
     """
     orig_dtype = x.dtype
-    n, h, w, _ = x.shape
+    assert input_layout in ("nhwc", "packed_u8")
+    if input_layout == "packed_u8":
+        # x: [N, ceil((h+80)/4), ceil((w+80)/4), 48] uint8 from
+        # inference.pack_u8_host; (h, w) is the logical image extent (static)
+        assert orig_dtype == jnp.uint8 and input_hw is not None
+        n, h, w = x.shape[0], *input_hw
+    else:
+        n, h, w, _ = x.shape
     if orig_dtype == jnp.uint8 and output_dtype is None:
         output_dtype = jnp.uint8
     assert output_dtype in (None, jnp.uint8), output_dtype
@@ -304,7 +313,8 @@ def apply_packed(
         return _cast_out(
             jax.lax.map(
                 lambda img: _apply_packed_one(
-                    pk, params, img[None], dtype, output_dtype, output_layout
+                    pk, params, img[None], dtype, output_dtype, output_layout,
+                    pre_packed_hw=input_hw if input_layout == "packed_u8" else None,
                 )[0],
                 x,
             ),
@@ -312,7 +322,10 @@ def apply_packed(
             output_dtype,
         )
     return _cast_out(
-        _apply_packed_one(pk, params, x, dtype, output_dtype, output_layout),
+        _apply_packed_one(
+            pk, params, x, dtype, output_dtype, output_layout,
+            pre_packed_hw=input_hw if input_layout == "packed_u8" else None,
+        ),
         orig_dtype,
         output_dtype,
     )
@@ -344,6 +357,7 @@ def _apply_packed_one(
     output_layout: str = "nhwc",
     in_norm=None,
     pre_padded: bool = False,
+    pre_packed_hw: tuple[int, int] | None = None,
 ) -> jax.Array:
     """`in_norm`: optional override for the instance-norm statistic pass,
     `(t, scale, shift, p, lh, lw) -> normalized t`. Used by
@@ -353,10 +367,17 @@ def _apply_packed_one(
 
     `pre_padded`: x already carries the 40px reflect pad (parallel.spatial
     slices shard windows out of a globally padded image); skip padding and
-    treat x's extents as the padded ones."""
-    n, h, w, _ = x.shape
-    if pre_padded:
-        h, w = h - 80, w - 80
+    treat x's extents as the padded ones.
+
+    `pre_packed_hw`: x is already the PACKED padded uint8 tensor from
+    inference.pack_u8_host (host did reflect-pad + space-to-depth); the
+    tuple carries the logical (h, w) the packed shape can't disambiguate."""
+    if pre_packed_hw is not None:
+        n, (h, w) = x.shape[0], pre_packed_hw
+    else:
+        n, h, w, _ = x.shape
+        if pre_padded:
+            h, w = h - 80, w - 80
     input_u8 = x.dtype == jnp.uint8
     if not input_u8 and x.dtype != dtype:
         x = x.astype(dtype)
@@ -394,7 +415,12 @@ def _apply_packed_one(
     # uint8 input stays uint8 through the pad+pack relayout (1-byte copies —
     # the input boundary cost at 1080p, docs/PERF.md) and casts after; 0..255
     # integers are exact in bf16/f32, so the cast position changes no math.
-    z = PK.pad_pack(x if pre_padded else L.reflect_pad(x, 40), 4)  # zero tails by construction
+    # With pre_packed_hw the host already did pad+pack (zero tails per the
+    # pack_u8_host contract) and the device starts at the cast.
+    if pre_packed_hw is not None:
+        z = x
+    else:
+        z = PK.pad_pack(x if pre_padded else L.reflect_pad(x, 40), 4)  # zero tails
     if input_u8:
         z = z.astype(dtype)
 

@@ -72,6 +72,15 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.c_long,
                 ctypes.c_long,
             ]
+            if hasattr(lib, "fs_pack_u8"):
+                lib.fs_pack_u8.restype = None
+                lib.fs_pack_u8.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_void_p,
+                    ctypes.c_long,
+                    ctypes.c_long,
+                    ctypes.c_long,
+                ]
             _lib = lib
         except Exception:
             _lib = None

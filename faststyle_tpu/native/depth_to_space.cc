@@ -60,4 +60,55 @@ void fs_unpack_u8(const uint8_t* src, uint8_t* dst, long hb, long wb,
   }
 }
 
+// The symmetric input-side kernel: reflect-pad an RGB uint8 frame by `pad`
+// pixels (TF REFLECT: mirror excluding the edge, im_transf_net.py:86-88)
+// and space-to-depth pack it at p=4 in one pass, so the device also skips
+// the INPUT boundary relayout (~1.2 ms/frame at 1080p — docs/PERF.md).
+// dst: [ceil((h+2*pad)/4), ceil((w+2*pad)/4), 48] row-major uint8; cells
+// beyond the padded extent are zeroed (ragged sizes).
+void fs_pack_u8(const uint8_t* src, uint8_t* dst, long h, long w, long pad) {
+  const long c = 3, p = 4;
+  const long hp = h + 2 * pad, wp = w + 2 * pad;
+  const long hb = (hp + p - 1) / p, wb = (wp + p - 1) / p;
+  const long row_c = p * c;       // 12 bytes per (dy) slice of a cell
+  const long block = p * p * c;   // 48 bytes per cell
+  if (hb * p != hp || wb * p != wp)
+    std::memset(dst, 0, hb * wb * block);
+  // one padded row in scratch; rebuilt per (by, dy)
+  uint8_t* row = new uint8_t[wb * p * c]();
+  for (long by = 0; by < hb; ++by) {
+    uint8_t* dst_row = dst + by * wb * block;
+    for (long dy = 0; dy < p; ++dy) {
+      const long y = by * p + dy;
+      if (y >= hp) break;
+      // source row via reflection (requires h,w > pad, like the reference)
+      long sy = y - pad;
+      if (sy < 0) sy = -sy;
+      else if (sy >= h) sy = 2 * (h - 1) - sy;
+      const uint8_t* s = src + sy * w * c;
+      for (long x = 0; x < pad; ++x)
+        std::memcpy(row + x * c, s + (pad - x) * c, c);
+      std::memcpy(row + pad * c, s, w * c);
+      for (long x = 0; x < pad; ++x)
+        std::memcpy(row + (pad + w + x) * c, s + (w - 2 - x) * c, c);
+      if (wb * p != wp)
+        std::memset(row + wp * c, 0, (wb * p - wp) * c);
+      // scatter the row's 12-byte slices into the (dy) lane of each cell
+      uint8_t* out = dst_row + dy * row_c;
+      if (dy + 1 < p && y + 1 < hp) {  // next slice is rewritten later;
+        // (a tail row would keep the 4-byte overhang as garbage)
+        for (long bx = 0; bx + 1 < wb; ++bx)
+          std::memcpy(out + bx * block, row + bx * row_c, 16);
+        std::memcpy(out + (wb - 1) * block, row + (wb - 1) * row_c, row_c);
+      } else {
+        // dy==3's 16-byte overhang would clobber the NEXT cell's dy=0
+        // slice (already written): exact copies only
+        for (long bx = 0; bx < wb; ++bx)
+          std::memcpy(out + bx * block, row + bx * row_c, row_c);
+      }
+    }
+  }
+  delete[] row;
+}
+
 }  // extern "C"

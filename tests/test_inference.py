@@ -117,3 +117,35 @@ def test_stylizer_packed_output_ragged_size(chicago_crop256):
     np.testing.assert_array_equal(got, want)
     # __call__ uses the law internally
     np.testing.assert_array_equal(packed(img), want[0])
+
+
+def test_stylizer_packed_input_matches_plain(chicago_crop256):
+    """Host-side pack (native reflect-pad + space-to-depth) feeding the
+    device's packed entry == the plain uint8 path, bit-exact."""
+    img = chicago_crop256.astype(np.uint8)[None]
+    plain = Stylizer(ROOT / "models" / "starry_final.npz", output_uint8=True)
+    pio = Stylizer(ROOT / "models" / "starry_final.npz", packed_input=True)
+    want = np.asarray(plain.stylize_batch(img))
+    got = np.asarray(pio.stylize_batch(img))
+    np.testing.assert_array_equal(got, want)
+    # full packed I/O through the convenience API, ragged size
+    pio2 = Stylizer(
+        ROOT / "models" / "starry_final.npz", packed_input=True, packed_output=True
+    )
+    ragged = img[0, :250, :243]
+    want2 = plain(ragged)
+    np.testing.assert_array_equal(pio2(ragged), want2)
+
+
+def test_pack_u8_host_native_matches_numpy(monkeypatch):
+    from faststyle_tpu import native
+    from faststyle_tpu.inference import pack_u8_host
+
+    rng = np.random.default_rng(0)
+    for h, w in ((64, 96), (59, 83), (41, 41)):
+        x = rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+        got = pack_u8_host(x)
+        monkeypatch.setattr(native, "load", lambda: None)
+        want = pack_u8_host(x)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(got, want)
