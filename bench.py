@@ -281,14 +281,13 @@ def _dp_subprocess(quick):
     cmd = [sys.executable, str(Path(__file__).resolve()), "--dp"]
     if quick:
         cmd.append("--quick")
+    out = None
     try:
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
         return json.loads(out.stdout.strip().splitlines()[-1])["details"]
     except Exception as e:  # never let the scaling probe sink the headline metric
         err = {"error": f"{type(e).__name__}: {e}"}
-        stderr = getattr(e, "stderr", None) or (
-            out.stderr if "out" in locals() else ""
-        )
+        stderr = getattr(e, "stderr", None) or (out.stderr if out else "")
         if stderr:
             err["stderr_tail"] = stderr[-500:]
         return err

@@ -94,7 +94,7 @@ def apply(
 
     acts: Dict[str, jax.Array] = {}
 
-    def done(idx):
+    def done():
         return (
             {k: v for k, v in acts.items() if k in wanted} if layers is not None else acts
         )
@@ -114,13 +114,13 @@ def apply(
             z = L.relu(z + jnp.tile(p["b"], 4).astype(z.dtype))
             acts[name] = PackedActivation(z)
             if idx == deepest:
-                return done(idx)
+                return done()
             idx += 1
         # pool1 == max over the (dy,dx) phase groups: exact and relayout-free
-        h = jnp.max(z.reshape(n, hh, ww, 4, 64), axis=3)
+        h = jnp.max(z.reshape(n, hh, ww, 4, z.shape[-1] // 4), axis=3)
         acts["pool1"] = h
         if idx == deepest:
-            return done(idx)
+            return done()
         idx += 1
         start_group = 2
 
@@ -131,12 +131,12 @@ def apply(
             h = L.relu(h + p["b"].astype(h.dtype))
             acts[name] = h
             if idx == deepest:
-                return done(idx)
+                return done()
             idx += 1
         h = L.max_pool_2x2_same(h)
         acts[f"pool{gi}"] = h
         if idx == deepest:
-            return done(idx)
+            return done()
         idx += 1
     return acts
 

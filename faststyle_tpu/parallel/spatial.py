@@ -39,7 +39,7 @@ Inference-only: the distributed IN skips the custom-VJP machinery.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Tuple
 
 import jax
@@ -129,7 +129,7 @@ class _SpatialNorm:
     n_shards: int
     schedule: List[Tuple[int, int]]
     axis_name: str
-    calls: int = field(default=0)
+    calls: int = 0
 
     def __call__(self, t, scale, shift, p, lh, lw):
         global_lh, div = self.schedule[self.calls]

@@ -41,7 +41,7 @@ import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
 from faststyle_tpu.data import pipeline  # noqa: E402
-from faststyle_tpu.inference import load_params  # noqa: E402
+from faststyle_tpu.inference import load_params, save_params  # noqa: E402
 from faststyle_tpu.models import transform_net  # noqa: E402
 from faststyle_tpu.utils import image_io  # noqa: E402
 from faststyle_tpu.utils.metrics import ssim  # noqa: E402
@@ -98,9 +98,8 @@ def main() -> None:
     out.parent.mkdir(parents=True, exist_ok=True)
 
     def save(p):
-        flat = {f"{b}/{k}": np.asarray(v) for b, s in p.items() for k, v in s.items()}
         tmp = out.with_suffix(".tmp.npz")
-        np.savez(tmp, **flat)
+        save_params(tmp, p)  # atomic: write-then-replace
         tmp.replace(out)
 
     rows = []
