@@ -101,28 +101,36 @@ def apply(
 
     idx = 0
     start_group = 1
-    if loss_layout and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+    if loss_layout:
         from faststyle_tpu.ops import packed as PK
 
-        n, hh, ww = h.shape[0], h.shape[1] // 2, h.shape[2] // 2
         g = PK.axis_geom(p_in=2, p_out=2, stride=1, k=3, pad_lo=1)  # SAME k3
-        z = PK.pad_pack(h, 2)  # even sizes: no tail
-        for name in ("conv1_1", "conv1_2"):
-            p = params[name]
-            k = PK.pack_kernel(p["W"].astype(h.dtype), g, g)
-            z = PK.conv2d_packed(z, k, g, g, (hh, ww))
-            z = L.relu(z + jnp.tile(p["b"], 4).astype(z.dtype))
-            acts[name] = PackedActivation(z)
+        # block 1 starves the MXU (Cin=3 / N=64); run it packed at p=2 with
+        # the trailing 2x2 pool as an exact max over the 4 phase groups.
+        # Extending to block 2 MEASURED SLOWER (train step 13.8 -> 14.8 ms
+        # at b4@256: the pool1->pack relayout plus the packed convs' known
+        # batch-dim scheduling penalty outweigh the N=128 MXU gain), so the
+        # loop covers block 1 only.
+        for gi in (1,):
+            if h.shape[1] % 2 or h.shape[2] % 2:
+                break
+            n, hh, ww = h.shape[0], h.shape[1] // 2, h.shape[2] // 2
+            z = PK.pad_pack(h, 2)  # even sizes: no tail
+            for name in _GROUPS[gi - 1]:
+                p = params[name]
+                k = PK.pack_kernel(p["W"].astype(h.dtype), g, g)
+                z = PK.conv2d_packed(z, k, g, g, (hh, ww))
+                z = L.relu(z + jnp.tile(p["b"], 4).astype(z.dtype))
+                acts[name] = PackedActivation(z)
+                if idx == deepest:
+                    return done()
+                idx += 1
+            h = jnp.max(z.reshape(n, hh, ww, 4, z.shape[-1] // 4), axis=3)
+            acts[f"pool{gi}"] = h
             if idx == deepest:
                 return done()
             idx += 1
-        # pool1 == max over the (dy,dx) phase groups: exact and relayout-free
-        h = jnp.max(z.reshape(n, hh, ww, 4, z.shape[-1] // 4), axis=3)
-        acts["pool1"] = h
-        if idx == deepest:
-            return done()
-        idx += 1
-        start_group = 2
+            start_group = gi + 1
 
     for gi, group in enumerate(_GROUPS[start_group - 1 :], start=start_group):
         for name in group:
