@@ -76,6 +76,7 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--learn_rate", type=float, default=1e-3)
     ap.add_argument("--log_csv", default="")
+    ap.add_argument("--init_from", default="", help="warm-start from a saved student (continue training)")
     ap.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"])
     args = ap.parse_args()
 
@@ -84,7 +85,11 @@ def main() -> None:
 
     teacher = load_params(args.teacher)
     teacher = {b: {k: jnp.asarray(v) for k, v in s.items()} for b, s in teacher.items()}
-    params = transform_net.init_params(jax.random.PRNGKey(0))
+    if args.init_from:
+        params = load_params(args.init_from)
+        params = {b: {k: jnp.asarray(v) for k, v in s.items()} for b, s in params.items()}
+    else:
+        params = transform_net.init_params(jax.random.PRNGKey(0))
     step_fn, opt = make_distill_step(teacher, args.learn_rate, dtype, decay_steps=args.steps)
     opt_state = opt.init(params)
 
