@@ -114,10 +114,13 @@ def output_shape(h: int, w: int) -> tuple[int, int]:
 
 
 def packed_layout_supported(h: int, w: int, upsample_method: str = "resize") -> bool:
-    """The packed fast path covers the 'resize' net at ANY input size (ragged
-    packings carry zeroed tails + masked statistics — see apply_packed);
-    'deconv' models run the naive path."""
-    return upsample_method == "resize" and h >= 8 and w >= 8
+    """The packed fast path covers BOTH upsample variants at ANY input size
+    (ragged packings carry zeroed tails + masked statistics — see
+    apply_packed). The deconv upsamples ride the same machinery through
+    their sub-pixel decomposition (ops.layers.deconv_phase_kernel): a 2-tap
+    phase conv with the zero tap at LO instead of HI, and the stride-1 9x9
+    final deconv is exactly a SAME conv with the flipped io-swapped kernel."""
+    return upsample_method in UPSAMPLE_METHODS and h >= 8 and w >= 8
 
 
 def apply(
@@ -157,7 +160,11 @@ def apply(
         layout == "auto" and packed_layout_supported(x.shape[1], x.shape[2], upsample_method)
     ):
         return apply_packed(
-            params, x, compute_dtype=compute_dtype, output_dtype=output_dtype
+            params,
+            x,
+            compute_dtype=compute_dtype,
+            output_dtype=output_dtype,
+            upsample_method=upsample_method,
         )
     orig_dtype = x.dtype
     if compute_dtype is not None or orig_dtype == jnp.uint8:
@@ -202,6 +209,7 @@ def apply(
 _G_INIT0 = PK.axis_geom(p_in=4, p_out=4, stride=1, k=9, pad_lo=4)  # SAME pad 4
 _G_RES = PK.axis_geom(2, 2, 1, 3, 0)  # VALID
 _G_UP = PK.axis_geom(2, 2, 1, 2, 0)  # fused-upsample phase conv (zero hi tap)
+_G_UP_DECONV = PK.axis_geom(2, 2, 1, 2, 1)  # deconv phase conv (zero LO tap)
 _G_FINAL = PK.axis_geom(4, 4, 1, 9, 4)
 # SAME stride-2 k3: TF pads (0,1) for even input, (1,1) for odd -> pad_lo by parity
 _G_S2 = {
@@ -217,11 +225,18 @@ def _s2_geom(p_in: int, l: int) -> PK.AxisGeom:
     return _G_S2[(p_in, 0 if l % 2 == 0 else 1)]
 
 
-def pack_all_kernels(params: Params, h: int, w: int, dtype) -> Dict[str, jax.Array]:
+def pack_all_kernels(
+    params: Params, h: int, w: int, dtype, upsample_method: str = "resize"
+) -> Dict[str, jax.Array]:
     """Pack every conv kernel for input size (h, w) ONCE. Hoisted out of the
     per-sample body so batched execution (lax.map) neither re-packs per
     sample nor re-differentiates the packing per sample (the packing VJP
-    then runs once per step, not once per sample)."""
+    then runs once per step, not once per sample).
+
+    For 'deconv' models the upsample stages pack the sub-pixel decomposition
+    (ops.layers.deconv_phase_kernel, zero tap at LO -> _G_UP_DECONV) and the
+    stride-1 9x9 final deconv packs as a SAME conv with the adjoint (flipped,
+    io-swapped) kernel."""
     cd = PK.ceil_div
     pk: Dict[str, jax.Array] = {}
     lh, lw = h + 80, w + 80
@@ -239,13 +254,19 @@ def pack_all_kernels(params: Params, h: int, w: int, dtype) -> Dict[str, jax.Arr
         blk = params[f"resblock_{i}"]
         pk[f"resblock_{i}_1"] = PK.pack_kernel(blk["W1"].astype(dtype), _G_RES, _G_RES)
         pk[f"resblock_{i}_2"] = PK.pack_kernel(blk["W2"].astype(dtype), _G_RES, _G_RES)
+    deconv = upsample_method == "deconv"
+    g_up = _G_UP_DECONV if deconv else _G_UP
     for i, c_out in ((0, 32), (1, 16)):
-        phase = L.upsample_phase_kernel(params[f"upsample_{i}"]["W"]).astype(dtype)
-        ku = PK.pack_kernel(phase, _G_UP, _G_UP)
+        w_up = params[f"upsample_{i}"]["W"]
+        phase = (
+            L.deconv_phase_kernel(w_up) if deconv else L.upsample_phase_kernel(w_up)
+        ).astype(dtype)
+        ku = PK.pack_kernel(phase, g_up, g_up)
         pk[f"upsample_{i}"] = PK.permute_upsample_out(ku, p_out=2, phase=2, c_real=c_out)
-    pk["upsample_2"] = PK.pack_kernel(
-        params["upsample_2"]["W"].astype(dtype), _G_FINAL, _G_FINAL
-    )
+    w_fin = params["upsample_2"]["W"]
+    if deconv:  # s1 SAME transposed conv == SAME conv with the adjoint kernel
+        w_fin = jnp.flip(w_fin, axis=(0, 1)).transpose(0, 1, 3, 2)
+    pk["upsample_2"] = PK.pack_kernel(w_fin.astype(dtype), _G_FINAL, _G_FINAL)
     return pk
 
 
@@ -259,6 +280,7 @@ def apply_packed(
     output_layout: str = "nhwc",
     input_layout: str = "nhwc",
     input_hw: tuple[int, int] | None = None,
+    upsample_method: str = "resize",
 ) -> jax.Array:
     """Space-to-depth execution of the 'resize' net: one pack at the input,
     one repack mid-upsampling, one unpack at the output; every conv runs on a
@@ -302,7 +324,9 @@ def apply_packed(
     )
     assert batch_mode in ("map", "direct")  # direct: the measured-slower
     # batched program, kept reachable for perf experiments (docs/PERF.md)
-    pk = pack_all_kernels(params, h, w, dtype)
+    assert upsample_method in UPSAMPLE_METHODS
+    pk = pack_all_kernels(params, h, w, dtype, upsample_method)
+    up_geom = _G_UP_DECONV if upsample_method == "deconv" else _G_UP
     if n > 1 and batch_mode == "map":
         # XLA schedules the packed convs markedly worse with a batch dim
         # (measured 2.8x/frame at 1080p b=2; H-folding measured no better —
@@ -315,6 +339,7 @@ def apply_packed(
                 lambda img: _apply_packed_one(
                     pk, params, img[None], dtype, output_dtype, output_layout,
                     pre_packed_hw=input_hw if input_layout == "packed_u8" else None,
+                    up_geom=up_geom,
                 )[0],
                 x,
             ),
@@ -325,6 +350,7 @@ def apply_packed(
         _apply_packed_one(
             pk, params, x, dtype, output_dtype, output_layout,
             pre_packed_hw=input_hw if input_layout == "packed_u8" else None,
+            up_geom=up_geom,
         ),
         orig_dtype,
         output_dtype,
@@ -358,6 +384,7 @@ def _apply_packed_one(
     in_norm=None,
     pre_padded: bool = False,
     pre_packed_hw: tuple[int, int] | None = None,
+    up_geom: PK.AxisGeom = _G_UP,
 ) -> jax.Array:
     """`in_norm`: optional override for the instance-norm statistic pass,
     `(t, scale, shift, p, lh, lw) -> normalized t`. Used by
@@ -455,7 +482,7 @@ def _apply_packed_one(
     for i, c_out in ((0, 32), (1, 16)):
         blk = params[f"upsample_{i}"]
         lh, lw = 2 * lh, 2 * lw  # net 2x upsample; output p=4 on the finer grid
-        z = PK.conv2d_packed(z, pk[f"upsample_{i}"], _G_UP, _G_UP, (cd(lh, 4), cd(lw, 4)))
+        z = PK.conv2d_packed(z, pk[f"upsample_{i}"], up_geom, up_geom, (cd(lh, 4), cd(lw, 4)))
         z = PK.zero_tail(z, 4, c_out, lh, lw)
         z = norm(z, blk, 4, c_out, lh, lw)
         if i == 0:
@@ -480,6 +507,74 @@ def _apply_packed_one(
             # next frame's device compute
             return z
     return PK.unpack_nhwc(z, 4, 3)[:, :lh, :lw, :]
+
+
+def apply_with_features(
+    params: Params,
+    x: jax.Array,
+    upsample_method: str = "resize",
+    *,
+    compute_dtype=None,
+) -> tuple[jax.Array, Dict[str, jax.Array]]:
+    """Forward pass that also returns intermediate activations, for
+    feature-matching teacher distillation (tools/distill_validation.py).
+
+    Taps are PRE-nonlinearity (post instance-norm) so matching gradients are
+    dense — a post-relu tap carries no gradient where the unit is off:
+      init_0..2   : post-IN, pre-relu
+      res_0..4    : residual block output (post skip-add, no relu by design)
+      up_0..1     : post-IN, pre-relu
+      pre_tanh    : final post-IN, before scaled_tanh
+
+    Runs the naive NHWC path (feature taps would force unpacks on the packed
+    path); output matches `apply(..., layout='naive')` exactly.
+    """
+    assert upsample_method in UPSAMPLE_METHODS
+    orig_dtype = x.dtype
+    if compute_dtype is not None or orig_dtype == jnp.uint8:
+        x = x.astype(compute_dtype if compute_dtype is not None else jnp.float32)
+    feats: Dict[str, jax.Array] = {}
+
+    h = L.reflect_pad(x, 40)
+    for i, (_k, _ci, _co, s) in enumerate(_INIT_SPECS):
+        blk = params[f"initconv_{i}"]
+        h = L.instance_norm(
+            L.conv2d(h, blk["W"], stride=s, padding="SAME"),
+            blk["INscale"], blk["INshift"],
+        )
+        feats[f"init_{i}"] = h
+        h = L.relu(h)
+
+    for i in range(_NUM_RESBLOCKS):
+        blk = params[f"resblock_{i}"]
+        r = L.conv2d(h, blk["W1"], stride=1, padding="VALID")
+        r = L.relu(L.instance_norm(r, blk["INscale1"], blk["INshift1"]))
+        r = L.conv2d(r, blk["W2"], stride=1, padding="VALID")
+        r = L.instance_norm(r, blk["INscale2"], blk["INshift2"])
+        h = r + h[:, 2:-2, 2:-2, :]
+        feats[f"res_{i}"] = h
+
+    for i in range(2):
+        blk = params[f"upsample_{i}"]
+        if upsample_method == "deconv":
+            u = L.transposed_conv2d(h, blk["W"], stride=2)
+        else:
+            u = L.upsample_conv(h, blk["W"])
+        u = L.instance_norm(u, blk["INscale"], blk["INshift"])
+        feats[f"up_{i}"] = u
+        h = L.relu(u)
+
+    blk = params["upsample_2"]
+    if upsample_method == "deconv":
+        h = L.transposed_conv2d(h, blk["W"], stride=1)
+    else:
+        h = L.conv2d(h, blk["W"], stride=1, padding="SAME")
+    h = L.instance_norm(h, blk["INscale"], blk["INshift"])
+    feats["pre_tanh"] = h
+    y = L.scaled_tanh(h)
+    if orig_dtype != jnp.uint8:
+        y = y.astype(orig_dtype)
+    return y, feats
 
 
 def num_params(params: Params) -> int:

@@ -151,6 +151,48 @@ def upsample_phase_kernel(w: jax.Array) -> jax.Array:
     return jnp.concatenate(phases, axis=-1)
 
 
+def deconv_phase_kernel(w_hwoi: jax.Array) -> jax.Array:
+    """3x3 HWOI stride-2 SAME transposed-conv kernel -> the 2-tap phase
+    kernel [2,2,cin,4*cout] of its sub-pixel decomposition; phase order
+    (py,px) row-major, taps reading (x[m-1], x[m]) — i.e. a 2x2 VALID conv
+    over x zero-padded by 1 at LO per axis (the mirror of the resize path's
+    hi tap), followed by depth-to-space.
+
+    Derivation (per axis; adjoint kernel v = flip(w), see transposed_conv2d):
+    the s2 SAME transposed conv is a VALID k3 conv over the 2x-dilated input
+    padded (2, 1); output o reads dilated positions o-2, o-1, o, of which
+    only even ones are real pixels:
+      o = 2m   -> v[0] x[m-1] + v[2] x[m]   (even phase: taps (v0, v2))
+      o = 2m+1 -> v[1] x[m]                 (odd phase:  taps (0,  v1))
+    """
+    assert w_hwoi.shape[0] == 3 and w_hwoi.shape[1] == 3, "specialized for 3x3 deconvs"
+    v = jnp.flip(w_hwoi, axis=(0, 1)).transpose(0, 1, 3, 2).astype(jnp.float32)
+    even_h = jnp.stack([v[0], v[2]], axis=0)  # [2(t),3(b),ci,co]
+    odd_h = jnp.stack([jnp.zeros_like(v[1]), v[1]], axis=0)
+    phases = []
+    for ph_h in (even_h, odd_h):
+        even_w = jnp.stack([ph_h[:, 0], ph_h[:, 2]], axis=1)  # [2,2,ci,co]
+        odd_w = jnp.stack([jnp.zeros_like(ph_h[:, 1]), ph_h[:, 1]], axis=1)
+        phases.append(even_w)
+        phases.append(odd_w)
+    return jnp.concatenate(phases, axis=-1)
+
+
+def transposed_conv2d_fused(x: jax.Array, w_hwoi: jax.Array) -> jax.Array:
+    """Exact phase-decomposed rewrite of `transposed_conv2d(x, w, stride=2)`
+    for 3x3 kernels: one 2x2 conv with 4*Cout channels + depth-to-space —
+    no input dilation (XLA pays real multiplies for the dilation zeros).
+    The packed fast path packs deconv_phase_kernel instead (transform_net)."""
+    kh, kw, cout, cin = w_hwoi.shape
+    w_packed = deconv_phase_kernel(w_hwoi)
+    n, h, width, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))  # zero tap at x[-1]
+    y = conv2d(xp, w_packed, stride=1, padding="VALID")  # [n,h,w,4*cout]
+    y = y.reshape(n, h, width, 2, 2, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * h, 2 * width, cout)
+
+
 def upsample_conv(x: jax.Array, w: jax.Array) -> jax.Array:
     """Fused resize-convolution: exact phase decomposition of
     `upsample_conv_reference`, with 4x fewer FLOPs and no 16x intermediate.

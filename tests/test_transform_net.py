@@ -66,6 +66,7 @@ def test_golden_parity_crop256(model, chicago_crop256):
     assert score >= 0.99, f"SSIM {score}"
 
 
+@pytest.mark.slow
 def test_golden_parity_512_packed_path(starry_params):
     """BASELINE config #0 shape (512px); 512 % 8 == 0 so this runs the packed
     fast path end to end against the TF oracle."""
@@ -77,6 +78,7 @@ def test_golden_parity_512_packed_path(starry_params):
 
 
 @pytest.mark.parametrize("model", ["starry", "candy"])
+@pytest.mark.slow
 def test_golden_parity_native_size_ragged(model):
     """chicago.jpg at its native 474x712 (H % 4 != 0): the ragged packed path
     must reproduce the TF geometry (476-row output) and the TF pixels. This is
@@ -102,6 +104,7 @@ def test_packed_matches_naive(starry_params, hw, batch):
     np.testing.assert_allclose(fast, naive, atol=5e-2)  # [0,255] scale
 
 
+@pytest.mark.slow
 def test_packed_ragged_constant_input_stays_finite(starry_params):
     """Near-constant high-magnitude frames at ragged sizes stress the masked
     instance-norm variance (a one-pass E[x^2]-mu^2 form could cancel below
@@ -126,6 +129,7 @@ def test_masked_instance_norm_matches_naive_on_ragged(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_path_differentiable(starry_params):
     """Training runs the packed path: grads must flow through kernel packing."""
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 255, (1, 64, 64, 3)), jnp.float32)
@@ -160,7 +164,61 @@ def test_deconv_variant_runs():
     assert out.shape == (1, 32, 32, 3)
 
 
+@pytest.mark.parametrize("layout", ["naive", "packed"])
+@pytest.mark.parametrize(
+    "oracle,crop",
+    [("deconv_crop256_tf_oracle.png", None), ("deconv_ragged_tf_oracle.png", (250, 243))],
+)
+@pytest.mark.slow
+def test_golden_parity_deconv(oracle, crop, layout, chicago_crop256):
+    """Full-net deconv parity against a MANUFACTURED TF oracle: the reference
+    ships no deconv checkpoint, so tools/make_tf_oracles.py inits one
+    (deconv_oracle_net.npz), exports it through compat.tf1_checkpoint, and
+    runs it through the literal reference graph (`create_net(X, 'deconv')`,
+    /root/reference/im_transf_net.py:57-63). Covers aligned and ragged sizes
+    on BOTH execution paths (naive adjoint-conv and packed sub-pixel) —
+    previously the deconv path rested on one adjoint identity only."""
+    params = load_params(ASSETS / "deconv_oracle_net.npz")
+    golden = image_io.imread(ASSETS / oracle)
+    img = chicago_crop256 if crop is None else chicago_crop256[: crop[0], : crop[1]]
+    x = jnp.asarray(img, jnp.float32)[None]
+    out = np.asarray(
+        transform_net.apply(params, x, upsample_method="deconv", layout=layout)
+    )[0]
+    assert out.shape == golden.shape, (out.shape, golden.shape)
+    score = ssim(np.clip(out, 0, 255), golden)
+    assert score >= 0.99, f"SSIM {score}"
+
+
+@pytest.mark.parametrize("hw,batch", [((64, 64), 2), ((66, 70), 1), ((59, 83), 2)])
+@pytest.mark.slow
+def test_packed_deconv_matches_naive(hw, batch):
+    """The deconv sub-pixel packed path (deconv_phase_kernel + _G_UP_DECONV +
+    adjoint final kernel) must equal the naive transposed-conv path at
+    aligned and ragged sizes."""
+    params = transform_net.init_params(jax.random.PRNGKey(3), "deconv")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (batch, *hw, 3)), jnp.float32)
+    naive = np.asarray(transform_net.apply(params, x, "deconv", layout="naive"))
+    fast = np.asarray(transform_net.apply(params, x, "deconv", layout="packed"))
+    np.testing.assert_allclose(fast, naive, atol=5e-2)  # [0,255] scale
+
+
+def test_deconv_fused_matches_adjoint(rng):
+    """ops.layers.transposed_conv2d_fused (2x2 phase conv + depth-to-space)
+    == transposed_conv2d (dilated adjoint conv), the TF-parity oracle."""
+    from faststyle_tpu.ops import layers as L
+
+    for h, w in ((8, 8), (7, 5)):
+        x = jnp.asarray(rng.standard_normal((2, h, w, 6)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 4, 6)), jnp.float32)  # HWOI
+        ref = np.asarray(L.transposed_conv2d(x, k, stride=2))
+        got = np.asarray(L.transposed_conv2d_fused(x, k))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 @pytest.mark.parametrize("layout", ["packed", "naive"])
+@pytest.mark.slow
 def test_uint8_io_matches_float_path(starry_params, layout):
     """uint8-in/uint8-out (the streaming contract: cast lands before the
     output relayout on the packed path) must equal the float path's
