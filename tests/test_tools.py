@@ -7,6 +7,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -36,6 +37,7 @@ def test_make_training_images(tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_make_random_vgg_loadable(tmp_path):
     out = subprocess.run(
         [sys.executable, str(REPO / "tools/make_random_vgg.py"),
@@ -50,6 +52,7 @@ def test_make_random_vgg_loadable(tmp_path):
     assert acts["conv1_2"].shape == (1, 64, 64, 64)
 
 
+@pytest.mark.slow
 def test_distill_step_decreases_loss():
     sys.path.insert(0, str(REPO / "tools"))
     import distill_validation as DV
@@ -62,9 +65,11 @@ def test_distill_step_decreases_loss():
     batch = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, (2, 64, 64, 3)), jnp.float32
     )
-    losses = []
+    losses, pix = [], []
     for _ in range(6):
-        student, opt_state, loss = step_fn(student, opt_state, batch)
+        student, opt_state, (loss, pix_raw) = step_fn(student, opt_state, teacher, batch)
         losses.append(float(loss))
+        pix.append(float(pix_raw))
     assert losses[-1] < losses[0]
-    assert np.isfinite(losses).all()
+    assert pix[-1] < pix[0]  # the feature terms must pull the output too
+    assert np.isfinite(losses).all() and np.isfinite(pix).all()

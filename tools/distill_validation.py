@@ -48,21 +48,59 @@ from faststyle_tpu.utils.metrics import ssim  # noqa: E402
 from faststyle_tpu.utils.profiling import enable_compilation_cache  # noqa: E402
 
 
-def make_distill_step(teacher_params, learn_rate: float, compute_dtype, decay_steps: int = 0):
+def make_distill_step(
+    teacher_params,
+    learn_rate: float,
+    compute_dtype,
+    decay_steps: int = 0,
+    feature_w: float = 1.0,
+):
+    """Distillation step: pixel L2 to the teacher's output, plus (round 3)
+    layer-wise feature matching against the teacher's intermediate
+    activations (transform_net.apply_with_features). With identical
+    architectures this is dense per-layer supervision — every layer is
+    regressed onto its teacher counterpart, which converges far past what
+    output-only pixel L2 reaches (SSIM 0.70 -> see docs/TRAINED_MODEL.md).
+
+    Each layer's L2 is normalized by the teacher activation's second moment
+    so all taps contribute at comparable scale regardless of depth/width;
+    the pixel term is likewise normalized by mean(target^2). Reported
+    `pixel_l2` stays the raw un-normalized mean square for curve continuity
+    with the round-2 runs. feature_w=0 recovers the round-2 pure-pixel loss.
+    """
     if decay_steps:
         learn_rate = optax.cosine_decay_schedule(learn_rate, decay_steps, alpha=0.02)
     opt = optax.adam(learn_rate)
 
-    def step(params, opt_state, batch):
-        target = transform_net.apply(teacher_params, batch, compute_dtype=compute_dtype)
+    # teacher rides as a traced argument (not a closure constant) so the
+    # compiled executable is teacher-independent: the candy run hits the
+    # persistent compile cache warmed by the starry run (the naive-path
+    # backward costs ~8 min of XLA compile on the tunneled runtime).
+    def step(params, opt_state, teacher, batch):
+        target, t_feats = transform_net.apply_with_features(
+            teacher, batch, compute_dtype=compute_dtype
+        )
+        target = jax.lax.stop_gradient(target)
+        t_feats = jax.lax.stop_gradient(t_feats)
 
         def loss_fn(p):
-            y = transform_net.apply(p, batch, compute_dtype=compute_dtype)
-            return jnp.mean(jnp.square(y - target))
+            y, s_feats = transform_net.apply_with_features(
+                p, batch, compute_dtype=compute_dtype
+            )
+            pix_raw = jnp.mean(jnp.square(y - target))
+            loss = pix_raw / (jnp.mean(jnp.square(target)) + 1e-6)
+            if feature_w:
+                per_layer = [
+                    jnp.mean(jnp.square(s_feats[k] - t_feats[k]))
+                    / (jnp.mean(jnp.square(t_feats[k])) + 1e-6)
+                    for k in sorted(t_feats)
+                ]
+                loss = loss + feature_w * sum(per_layer) / len(per_layer)
+            return loss, pix_raw
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, pix_raw), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, (loss, pix_raw)
 
     return jax.jit(step, donate_argnums=(0, 1)), opt
 
@@ -76,6 +114,10 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--learn_rate", type=float, default=1e-3)
     ap.add_argument("--log_csv", default="")
+    ap.add_argument(
+        "--feature_w", type=float, default=1.0,
+        help="weight on layer-wise teacher feature matching (0 = round-2 pure pixel L2)",
+    )
     ap.add_argument("--init_from", default="", help="warm-start from a saved student (continue training)")
     ap.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"])
     args = ap.parse_args()
@@ -90,7 +132,10 @@ def main() -> None:
         params = {b: {k: jnp.asarray(v) for k, v in s.items()} for b, s in params.items()}
     else:
         params = transform_net.init_params(jax.random.PRNGKey(0))
-    step_fn, opt = make_distill_step(teacher, args.learn_rate, dtype, decay_steps=args.steps)
+    step_fn, opt = make_distill_step(
+        teacher, args.learn_rate, dtype, decay_steps=args.steps,
+        feature_w=args.feature_w,
+    )
     opt_state = opt.init(params)
 
     batcher = pipeline.image_dir_batcher(
@@ -110,11 +155,15 @@ def main() -> None:
     rows = []
     t0 = time.perf_counter()
     for i in range(1, args.steps + 1):
-        params, opt_state, loss = step_fn(params, opt_state, next(batches))
+        params, opt_state, (loss, pix) = step_fn(params, opt_state, teacher, next(batches))
         if i % 100 == 0 or i == 1:
-            loss_v = float(loss)
-            rows.append((i, loss_v, time.perf_counter() - t0))
-            print(f"step {i:5d}  pixel-L2 {loss_v:10.3f}  ({rows[-1][2]:.1f}s)", flush=True)
+            loss_v, pix_v = float(loss), float(pix)
+            rows.append((i, loss_v, pix_v, time.perf_counter() - t0))
+            print(
+                f"step {i:5d}  loss {loss_v:9.5f}  pixel-L2 {pix_v:10.3f}"
+                f"  ({rows[-1][3]:.1f}s)",
+                flush=True,
+            )
         if i % 2000 == 0:
             save(params)  # periodic: a tunnel stall mid-run keeps the latest
 
@@ -122,8 +171,8 @@ def main() -> None:
     print(f"saved student model to {out}")
     if args.log_csv:
         with open(args.log_csv, "w") as f:
-            f.write("step,pixel_l2,seconds\n")
-            f.writelines(f"{s},{l},{t:.2f}\n" for s, l, t in rows)
+            f.write("step,loss,pixel_l2,seconds\n")
+            f.writelines(f"{s},{l},{p},{t:.2f}\n" for s, l, p, t in rows)
 
     # held-out validation: chicago at multiple sizes, student vs teacher
     chicago = image_io.imread(REPO / "tests/assets/chicago.jpg").astype(np.float32)
