@@ -108,6 +108,7 @@ class Batcher:
         num_decode_threads: int = 8,
         seed: int = 0,
         drop_remainder: bool = True,
+        verify_crc: bool = True,
     ):
         if not files:
             raise ValueError("no input files")
@@ -119,13 +120,18 @@ class Batcher:
         self._threads = num_decode_threads
         self._rng = np.random.default_rng(seed)
         self._drop_remainder = drop_remainder
+        # TF's RecordReader always CRC-checks; default on here too so a
+        # bit-rotted shard raises instead of feeding garbage to JPEG decode.
+        # Near-free with the native scanner (fs_scan_records does the CRC in
+        # the same pass that finds record boundaries).
+        self._verify_crc = verify_crc
 
     def _record_stream(self) -> Iterator[bytes]:
         epoch = 0
         while self._epochs is None or epoch < self._epochs:
             order = self._rng.permutation(len(self._files))
             for fi in order:
-                for rec in tfrecord.iter_records(self._files[fi]):
+                for rec in tfrecord.iter_records(self._files[fi], verify=self._verify_crc):
                     yield rec
             epoch += 1
 
@@ -169,7 +175,10 @@ class Batcher:
         except GeneratorExit:
             # consumer abandoned the iterator (e.g. num_steps_break hit, or
             # GC at interpreter teardown): don't join workers — cancel and go
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except AttributeError:
+                pass  # interpreter teardown: stdlib module globals already None
             raise
         else:
             pool.shutdown(wait=True)

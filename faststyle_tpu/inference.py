@@ -11,6 +11,8 @@ just the shape-cache behavior here.
 from __future__ import annotations
 
 import functools
+import os
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -19,6 +21,37 @@ import jax.numpy as jnp
 import numpy as np
 
 from faststyle_tpu.models import transform_net
+
+# Worker pool for host-side pack/unpack: the native kernels release the GIL
+# (ctypes) and are independent per packed block-row, so a single 4K frame
+# splits into row slabs across cores (single-threaded 4K unpack is 44 ms vs
+# 28 ms device time — host-bound without this; docs/PERF.md). Lazy so mere
+# import costs nothing.
+_host_pool: Optional[ThreadPoolExecutor] = None
+_HOST_WORKERS = min(8, os.cpu_count() or 1)
+# below this many packed block-rows the dispatch overhead beats the win
+_MIN_ROWS_PER_SLAB = 64
+
+
+def _pool() -> ThreadPoolExecutor:
+    global _host_pool
+    if _host_pool is None:
+        _host_pool = ThreadPoolExecutor(
+            max_workers=_HOST_WORKERS, thread_name_prefix="fs-host-relayout"
+        )
+    return _host_pool
+
+
+def _parallel_rows(fn, hb: int) -> None:
+    """Run fn(by0, by1) over [0, hb) — sliced across the pool when large."""
+    slabs = min(_HOST_WORKERS, max(1, hb // _MIN_ROWS_PER_SLAB))
+    if slabs == 1:
+        fn(0, hb)
+        return
+    bounds = [hb * i // slabs for i in range(slabs + 1)]
+    futs = [_pool().submit(fn, bounds[i], bounds[i + 1]) for i in range(slabs)]
+    for f in futs:
+        f.result()
 
 
 def load_params(model_path: str | Path) -> Dict:
@@ -67,10 +100,20 @@ def unpack_u8_host(packed: np.ndarray, height: int, width: int, p: int = 4, c: i
     lib = native.load()
     if lib is not None:
         out = np.empty((n, height, width, c), np.uint8)
-        for i in range(n):
-            lib.fs_unpack_u8(
-                packed[i].ctypes.data, out[i].ctypes.data, hb, wb, p, c, height, width
-            )
+        if hasattr(lib, "fs_unpack_u8_rows"):
+            for i in range(n):
+                src, dst = packed[i].ctypes.data, out[i].ctypes.data
+                _parallel_rows(
+                    lambda by0, by1, src=src, dst=dst: lib.fs_unpack_u8_rows(
+                        src, dst, hb, wb, p, c, height, width, by0, by1
+                    ),
+                    hb,
+                )
+        else:  # stale prebuilt .so without the row-range entry point
+            for i in range(n):
+                lib.fs_unpack_u8(
+                    packed[i].ctypes.data, out[i].ctypes.data, hb, wb, p, c, height, width
+                )
         return out
     full = (
         packed.reshape(n, hb, wb, p, p, c)
@@ -91,7 +134,13 @@ def pack_u8_host(imgs: np.ndarray, pad: int = 40, p: int = 4) -> np.ndarray:
     imgs = np.ascontiguousarray(imgs)
     assert imgs.dtype == np.uint8 and imgs.ndim == 4 and imgs.shape[-1] == 3
     n, h, w, _ = imgs.shape
-    assert h > pad and w > pad, "reflect pad needs H, W > pad"
+    if h <= pad or w <= pad:
+        raise ValueError(
+            f"packed input needs frames larger than the {pad}px reflect pad "
+            f"(got {h}x{w}): single-reflection padding is undefined below "
+            f"pad+1 px. Use a Stylizer without packed_input for tiny frames "
+            f"(the plain path multi-reflects)."
+        )
     hp, wp = h + 2 * pad, w + 2 * pad
     hb, wb = -(-hp // p), -(-wp // p)
     from faststyle_tpu import native
@@ -99,8 +148,18 @@ def pack_u8_host(imgs: np.ndarray, pad: int = 40, p: int = 4) -> np.ndarray:
     lib = native.load()
     if lib is not None and hasattr(lib, "fs_pack_u8") and p == 4:
         out = np.empty((n, hb, wb, p * p * 3), np.uint8)
-        for i in range(n):
-            lib.fs_pack_u8(imgs[i].ctypes.data, out[i].ctypes.data, h, w, pad)
+        if hasattr(lib, "fs_pack_u8_rows"):
+            for i in range(n):
+                src, dst = imgs[i].ctypes.data, out[i].ctypes.data
+                _parallel_rows(
+                    lambda by0, by1, src=src, dst=dst: lib.fs_pack_u8_rows(
+                        src, dst, h, w, pad, by0, by1
+                    ),
+                    hb,
+                )
+        else:
+            for i in range(n):
+                lib.fs_pack_u8(imgs[i].ctypes.data, out[i].ctypes.data, h, w, pad)
         return out
     padded = np.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
     full = np.zeros((n, hb * p, wb * p, 3), np.uint8)
@@ -212,7 +271,13 @@ class Stylizer:
         """NHWC RGB [0,255] -> stylized NHWC [0,255] (device array; float32,
         or uint8 with output_uint8=True). With output_uint8, uint8 inputs are
         fed to the device as-is (4x smaller transfer + 1-byte input relayout);
-        otherwise inputs are cast to float32 to keep the output contract."""
+        otherwise inputs are cast to float32 to keep the output contract.
+
+        With packed_input=True the host pack stage is uint8-only: float
+        frames are clipped to [0,255] and QUANTIZED to uint8 before packing
+        (fractional intensities are lost — the camera/decoder contract this
+        path serves is uint8 anyway). Use a non-packed Stylizer to preserve
+        float input precision."""
         if self._packed_input:
             imgs = np.asarray(imgs)
             if imgs.dtype != np.uint8:
@@ -243,11 +308,22 @@ class Stylizer:
 
     def warmup(self, height: int, width: int) -> None:
         """Pre-compile for a given input shape (streaming cold-start control).
-        Warms the dtype signature the serving loop will hit: uint8 frames
-        when output_uint8 (the streaming contract), else float32."""
-        dt = np.uint8 if self._output_uint8 else np.float32
-        out = self.stylize_batch(np.zeros((1, height, width, 3), dt))
-        # hard sync via a value fetch: on tunneled runtimes (axon)
-        # block_until_ready can return while compile+execute are still in
-        # flight, which would bill the whole compile to the first real frame
-        np.asarray(out[:, 0, 0, 0])
+
+        Warms EVERY dtype signature stylize_batch can hit at this shape:
+        uint8 when output_uint8 (the streaming contract) AND float32 (video
+        pipelines that preprocess in float) — a cold cache compiles for
+        minutes per signature on tunneled runtimes, so missing one would
+        bill it to the first real frame. The packed_input path quantizes to
+        uint8 on host, so it has a single device signature."""
+        if self._packed_input:
+            dtypes = [np.uint8]
+        elif self._output_uint8:
+            dtypes = [np.uint8, np.float32]
+        else:
+            dtypes = [np.float32]
+        for dt in dtypes:
+            out = self.stylize_batch(np.zeros((1, height, width, 3), dt))
+            # hard sync via a value fetch: on tunneled runtimes (axon)
+            # block_until_ready can return while compile+execute are still in
+            # flight, which would bill the whole compile to the first real frame
+            np.asarray(out[:, 0, 0, 0])

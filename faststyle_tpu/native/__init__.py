@@ -81,6 +81,16 @@ def load() -> Optional[ctypes.CDLL]:
                     ctypes.c_long,
                     ctypes.c_long,
                 ]
+            if hasattr(lib, "fs_unpack_u8_rows"):
+                lib.fs_unpack_u8_rows.restype = None
+                lib.fs_unpack_u8_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p] + [
+                    ctypes.c_long
+                ] * 8
+            if hasattr(lib, "fs_pack_u8_rows"):
+                lib.fs_pack_u8_rows.restype = None
+                lib.fs_pack_u8_rows.argtypes = [ctypes.c_void_p, ctypes.c_void_p] + [
+                    ctypes.c_long
+                ] * 5
             _lib = lib
         except Exception:
             _lib = None

@@ -20,15 +20,16 @@
 extern "C" {
 
 // src: [hb, wb, p*p*c] row-major uint8; dst: [h, w, c] row-major uint8.
-// Requires h <= hb*p, w <= wb*p. Single-threaded: callers parallelize
-// across frames/batch if needed (and the Python side releases the GIL via
-// ctypes during the call).
-void fs_unpack_u8(const uint8_t* src, uint8_t* dst, long hb, long wb,
-                  long p, long c, long h, long w) {
+// Requires h <= hb*p, w <= wb*p. Processes packed block-rows [by0, by1):
+// each block-row's writes stay inside its own `p` destination rows, so
+// disjoint ranges can run on concurrent threads (inference.unpack_u8_host
+// slabs a single 4K frame across a pool; ctypes releases the GIL).
+void fs_unpack_u8_rows(const uint8_t* src, uint8_t* dst, long hb, long wb,
+                       long p, long c, long h, long w, long by0, long by1) {
   const long block = p * p * c;  // bytes per packed cell
   const long row_c = p * c;      // contiguous bytes per (dy) slice of a cell
   const long wfull = wb * p;     // full packed width in pixels
-  for (long by = 0; by < hb; ++by) {
+  for (long by = by0; by < by1; ++by) {
     const uint8_t* src_row = src + by * wb * block;
     for (long dy = 0; dy < p; ++dy) {
       const long y = by * p + dy;
@@ -60,23 +61,33 @@ void fs_unpack_u8(const uint8_t* src, uint8_t* dst, long hb, long wb,
   }
 }
 
+void fs_unpack_u8(const uint8_t* src, uint8_t* dst, long hb, long wb,
+                  long p, long c, long h, long w) {
+  fs_unpack_u8_rows(src, dst, hb, wb, p, c, h, w, 0, hb);
+}
+
 // The symmetric input-side kernel: reflect-pad an RGB uint8 frame by `pad`
 // pixels (TF REFLECT: mirror excluding the edge, im_transf_net.py:86-88)
 // and space-to-depth pack it at p=4 in one pass, so the device also skips
 // the INPUT boundary relayout (~1.2 ms/frame at 1080p — docs/PERF.md).
 // dst: [ceil((h+2*pad)/4), ceil((w+2*pad)/4), 48] row-major uint8; cells
 // beyond the padded extent are zeroed (ragged sizes).
-void fs_pack_u8(const uint8_t* src, uint8_t* dst, long h, long w, long pad) {
+//
+// Row-range form: processes packed block-rows [by0, by1). Every write —
+// including the ragged-tail memset and the dy==3 overhang guard — stays
+// inside the slab's own block-rows, so disjoint slabs parallelize.
+void fs_pack_u8_rows(const uint8_t* src, uint8_t* dst, long h, long w,
+                     long pad, long by0, long by1) {
   const long c = 3, p = 4;
   const long hp = h + 2 * pad, wp = w + 2 * pad;
   const long hb = (hp + p - 1) / p, wb = (wp + p - 1) / p;
   const long row_c = p * c;       // 12 bytes per (dy) slice of a cell
   const long block = p * p * c;   // 48 bytes per cell
   if (hb * p != hp || wb * p != wp)
-    std::memset(dst, 0, hb * wb * block);
+    std::memset(dst + by0 * wb * block, 0, (by1 - by0) * wb * block);
   // one padded row in scratch; rebuilt per (by, dy)
   uint8_t* row = new uint8_t[wb * p * c]();
-  for (long by = 0; by < hb; ++by) {
+  for (long by = by0; by < by1; ++by) {
     uint8_t* dst_row = dst + by * wb * block;
     for (long dy = 0; dy < p; ++dy) {
       const long y = by * p + dy;
@@ -109,6 +120,12 @@ void fs_pack_u8(const uint8_t* src, uint8_t* dst, long h, long w, long pad) {
     }
   }
   delete[] row;
+}
+
+void fs_pack_u8(const uint8_t* src, uint8_t* dst, long h, long w, long pad) {
+  const long p = 4;
+  const long hb = (h + 2 * pad + p - 1) / p;
+  fs_pack_u8_rows(src, dst, h, w, pad, 0, hb);
 }
 
 }  // extern "C"

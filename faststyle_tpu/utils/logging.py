@@ -40,6 +40,16 @@ class MetricsLogger:
         self._dir = Path(log_dir) / run_name
         self._dir.mkdir(parents=True, exist_ok=True)
         self._path = self._dir / "metrics.csv"
+        # Resuming into an existing CSV: conform to ITS header — a resumed
+        # run producing a different metric dict would otherwise silently
+        # misalign columns. New keys are dropped (extrasaction="ignore"),
+        # absent ones left empty (restval).
+        self._resume_fields: Optional[list] = None
+        if self._path.exists() and self._path.stat().st_size > 0:
+            with open(self._path, newline="") as f:
+                header = f.readline().strip()
+            if header:
+                self._resume_fields = header.split(",")
         self._file = open(self._path, "a", newline="")
         self._writer: Optional[csv.DictWriter] = None
         self._echo = echo
@@ -66,10 +76,15 @@ class MetricsLogger:
             row["steps_per_sec"] = (step - self._last_step) / (now - self._last_time)
         self._last_step, self._last_time = step, now
         if self._writer is None:
-            fields = list(row.keys())
-            if "steps_per_sec" not in fields:
-                fields.append("steps_per_sec")
-            self._writer = csv.DictWriter(self._file, fieldnames=fields, extrasaction="ignore")
+            if self._resume_fields is not None:
+                fields = self._resume_fields
+            else:
+                fields = list(row.keys())
+                if "steps_per_sec" not in fields:
+                    fields.append("steps_per_sec")
+            self._writer = csv.DictWriter(
+                self._file, fieldnames=fields, extrasaction="ignore", restval=""
+            )
             if self._file.tell() == 0:
                 self._writer.writeheader()
         self._writer.writerow(row)

@@ -183,6 +183,22 @@ def test_batcher_shapes_and_epochs(tmp_path):
         assert 0 <= batch.min() and batch.max() <= 255
 
 
+def test_batcher_raises_on_corrupt_shard(tmp_path):
+    """The training read path CRC-checks by default (TF's RecordReader always
+    does): a bit-flipped shard must raise, not feed garbage to JPEG decode."""
+    imgs = _make_images(tmp_path, n=4)
+    paths = writer.write_dataset(imgs, tmp_path / "records", num_shards=1, num_threads=1)
+    raw = bytearray(paths[0].read_bytes())
+    raw[len(raw) // 2] ^= 0xFF  # flip a payload byte mid-file
+    paths[0].write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="corrupt"):
+        list(pipeline.Batcher(paths, batch_size=2, resize_shape=(16, 16),
+                              n_epochs=1, min_after_dequeue=2))
+    # explicit opt-out preserves the old permissive behavior
+    list(pipeline.Batcher(paths, batch_size=2, resize_shape=(16, 16),
+                          n_epochs=1, min_after_dequeue=2, verify_crc=False))
+
+
 def test_image_dir_batcher(tmp_path):
     imgs = _make_images(tmp_path, n=6)
     b = pipeline.image_dir_batcher(imgs, batch_size=3, resize_shape=(16, 16), n_epochs=1,

@@ -149,3 +149,28 @@ def test_pack_u8_host_native_matches_numpy(monkeypatch):
         want = pack_u8_host(x)
         monkeypatch.undo()
         np.testing.assert_array_equal(got, want)
+
+
+def test_host_relayout_slab_parallel_exact(monkeypatch):
+    """Row-slab parallel pack/unpack (big frames split across the host pool)
+    is bit-identical to single-slab: disjoint block-row ranges, including the
+    ragged-tail memset and the dy==3 overhang guard, never interact."""
+    import faststyle_tpu.inference as inf
+    from faststyle_tpu import native
+
+    if native.load() is None:  # pragma: no cover
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    # force multi-slab even on a 1-core sandbox and at small sizes
+    monkeypatch.setattr(inf, "_HOST_WORKERS", 4)
+    monkeypatch.setattr(inf, "_MIN_ROWS_PER_SLAB", 8)
+    for h, w in ((256, 384), (250, 243)):
+        x = rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
+        packed_par = inf.pack_u8_host(x)
+        hb, wb = -(-h // 4), -(-w // 4)
+        raw = rng.integers(0, 256, (1, hb, wb, 48), dtype=np.uint8)
+        unpacked_par = inf.unpack_u8_host(raw, h, w)
+        monkeypatch.setattr(inf, "_HOST_WORKERS", 1)
+        np.testing.assert_array_equal(packed_par, inf.pack_u8_host(x))
+        np.testing.assert_array_equal(unpacked_par, inf.unpack_u8_host(raw, h, w))
+        monkeypatch.setattr(inf, "_HOST_WORKERS", 4)
