@@ -67,6 +67,7 @@ def apply(
     *,
     compute_dtype=None,
     loss_layout: bool = False,
+    input_layer: Optional[str] = None,
 ) -> Dict[str, jax.Array]:
     """Run the tower on NHWC RGB [0,255]; return {layer: activation}.
 
@@ -81,16 +82,19 @@ def apply(
     the normal layout; conv1_1/conv1_2 activations are returned as
     PackedActivation (no relayout paid — losses fold Grams and compare
     elementwise in packed form, both exactly). Opt-in for the loss paths
-    (training/slow_style), NOT the default feature-extraction contract."""
+    (training/slow_style), NOT the default feature-extraction contract.
+
+    `input_layer='pool<k>'` treats `x` as the pool<k> ACTIVATION (NHWC) and
+    continues the tower from there — the continuation half of a split run
+    (training.train_step's fused content tower runs [batch; y] jointly to a
+    pool boundary, then continues only the y half into the deeper blocks).
+    Mean subtraction is skipped; only pool boundaries are supported (conv
+    activations can be in packed layout under loss_layout)."""
     wanted = set(layers) if layers is not None else set(LAYER_ORDER)
     unknown = wanted - set(LAYER_ORDER)
     if unknown:
         raise ValueError(f"unknown VGG16 layers: {sorted(unknown)}")
     deepest = max(layer_index(l) for l in wanted)
-
-    h = x.astype(jnp.float32) - jnp.asarray(_MEAN_RGB, jnp.float32)
-    if compute_dtype is not None:
-        h = h.astype(compute_dtype)
 
     acts: Dict[str, jax.Array] = {}
 
@@ -99,8 +103,21 @@ def apply(
             {k: v for k, v in acts.items() if k in wanted} if layers is not None else acts
         )
 
-    idx = 0
-    start_group = 1
+    if input_layer is not None:
+        if input_layer not in LAYER_ORDER or not input_layer.startswith("pool"):
+            raise ValueError(f"input_layer must be a pool boundary, got {input_layer}")
+        idx = layer_index(input_layer) + 1
+        if deepest < idx:
+            raise ValueError(f"requested layers end before input_layer {input_layer}")
+        start_group = int(input_layer[4:]) + 1
+        h = x if compute_dtype is None else x.astype(compute_dtype)
+        loss_layout = False  # packing applies to block 1 only; we start past it
+    else:
+        idx = 0
+        start_group = 1
+        h = x.astype(jnp.float32) - jnp.asarray(_MEAN_RGB, jnp.float32)
+        if compute_dtype is not None:
+            h = h.astype(compute_dtype)
     if loss_layout:
         from faststyle_tpu.ops import packed as PK
 

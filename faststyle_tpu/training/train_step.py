@@ -79,38 +79,112 @@ def init_state(rng: jax.Array, config: TrainConfig, params=None) -> TrainState:
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_train_step(vgg_params, target_grams: Mapping[str, jax.Array], config: TrainConfig):
+def make_train_step(
+    vgg_params,
+    target_grams: Mapping[str, jax.Array],
+    config: TrainConfig,
+    *,
+    fused_content_tower: bool = False,
+):
     """Build the (state, batch) -> (state, metrics) step function (un-jitted;
-    callers wrap in jit or shard_map)."""
+    callers wrap in jit or shard_map).
+
+    `fused_content_tower=True` runs ONE VGG pass on concat([batch, y]) up to
+    the pool boundary after the deepest content layer (fatter batch-2N
+    matmuls, one tower prefix instead of two), then continues only the y
+    half into the deeper style blocks. Mathematically identical: the batch
+    half is stop-gradded, so only backward input-grad convs widen. Measured
+    SLOWER at b4@256 bf16 (13.9 -> 14.5 ms/step, docs/PERF.md: the widened
+    backward through blocks 1-3 costs more than the merged forward saves) —
+    kept reachable for re-measurement at other shapes, default off."""
     content_w = dict(config.content_weights)
     style_w = dict(config.style_weights)
     all_layers = tuple(dict.fromkeys(tuple(content_w) + tuple(style_w)))
     content_layers = tuple(content_w)
     opt = make_optimizer(config)
 
-    def train_step(state: TrainState, batch: jax.Array):
-        # content targets = VGG features of the RAW batch (stop-grad by constr.)
-        tgt_content = vgg16.apply(
-            vgg_params,
-            batch,
-            content_layers,
-            compute_dtype=config.compute_dtype,
-            loss_layout=True,
+    # pool boundary after the deepest content layer: the joint [batch; y]
+    # prefix must cover every content layer AND stop on an unpacked layout
+    deepest_content = max(vgg16.layer_index(l) for l in content_layers)
+    split_pool = next(
+        name
+        for name in vgg16.LAYER_ORDER[deepest_content:]
+        if name.startswith("pool")
+    )
+    prefix_layers = tuple(
+        dict.fromkeys(
+            tuple(
+                l
+                for l in all_layers
+                if vgg16.layer_index(l) <= vgg16.layer_index(split_pool)
+            )
+            + (split_pool,)
         )
+    )
+    suffix_layers = tuple(
+        l for l in all_layers if vgg16.layer_index(l) > vgg16.layer_index(split_pool)
+    )
+
+    def split_halves(act, n):
+        if isinstance(act, vgg16.PackedActivation):
+            return vgg16.PackedActivation(act.data[:n]), vgg16.PackedActivation(act.data[n:])
+        return act[:n], act[n:]
+
+    def train_step(state: TrainState, batch: jax.Array):
+        if not fused_content_tower:
+            # content targets = VGG features of the RAW batch (stop-grad by
+            # construction)
+            tgt_content = vgg16.apply(
+                vgg_params,
+                batch,
+                content_layers,
+                compute_dtype=config.compute_dtype,
+                loss_layout=True,
+            )
 
         def loss_fn(params):
             y = transform_net.apply(
                 params, batch, config.upsample_method, compute_dtype=config.compute_dtype
             )
-            acts = vgg16.apply(
-                vgg_params,
-                y,
-                all_layers,
-                compute_dtype=config.compute_dtype,
-                loss_layout=True,
-            )
+            if fused_content_tower:
+                n = batch.shape[0]
+                pair = jnp.concatenate([batch, y.astype(batch.dtype)], axis=0)
+                joint = vgg16.apply(
+                    vgg_params,
+                    pair,
+                    prefix_layers,
+                    compute_dtype=config.compute_dtype,
+                    loss_layout=True,
+                )
+                tgt, acts = {}, {}
+                for name, act in joint.items():
+                    b_half, y_half = split_halves(act, n)
+                    acts[name] = y_half
+                    if name in content_w:
+                        tgt[name] = jax.lax.stop_gradient(b_half)
+                if suffix_layers:
+                    acts.update(
+                        vgg16.apply(
+                            vgg_params,
+                            acts.pop(split_pool),
+                            suffix_layers,
+                            compute_dtype=config.compute_dtype,
+                            input_layer=split_pool,
+                        )
+                    )
+                else:
+                    acts.pop(split_pool, None)
+            else:
+                tgt = tgt_content
+                acts = vgg16.apply(
+                    vgg_params,
+                    y,
+                    all_layers,
+                    compute_dtype=config.compute_dtype,
+                    loss_layout=True,
+                )
             total, parts = losses.perceptual_loss(
-                acts, tgt_content, target_grams, content_w, style_w, y, config.beta
+                acts, tgt, target_grams, content_w, style_w, y, config.beta
             )
             return total, parts
 
@@ -122,6 +196,6 @@ def make_train_step(vgg_params, target_grams: Mapping[str, jax.Array], config: T
     return train_step
 
 
-def make_jitted_train_step(vgg_params, target_grams, config: TrainConfig):
-    step = make_train_step(vgg_params, target_grams, config)
+def make_jitted_train_step(vgg_params, target_grams, config: TrainConfig, **kw):
+    step = make_train_step(vgg_params, target_grams, config, **kw)
     return jax.jit(step, donate_argnums=(0,))

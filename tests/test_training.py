@@ -44,6 +44,7 @@ def target_grams(vgg_params, small_config):
     )
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(vgg_params, small_config, target_grams):
     step_fn = make_jitted_train_step(vgg_params, target_grams, small_config)
     state = init_state(jax.random.PRNGKey(1), small_config)
@@ -56,6 +57,59 @@ def test_train_step_decreases_loss(vgg_params, small_config, target_grams):
     assert int(state.step) == 12
     assert losses[-1] < losses[0] * 0.9, losses
     assert all(np.isfinite(l) for l in losses)
+
+
+@pytest.mark.slow
+def test_fused_content_tower_matches_separate(vgg_params, small_config, target_grams):
+    """fused_content_tower (one VGG pass on [batch; y] to the split pool,
+    then the y half alone) must be the same math as the two-tower form:
+    identical metrics and identical updated params from the same state."""
+    sep = make_jitted_train_step(vgg_params, target_grams, small_config)
+    fused = make_jitted_train_step(
+        vgg_params, target_grams, small_config, fused_content_tower=True
+    )
+    batch = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 255, (2, SIZE, SIZE, 3)).astype(np.float32)
+    )
+    state = init_state(jax.random.PRNGKey(2), small_config)
+    # donate_argnums: give each call its own state copy
+    s_sep, m_sep = sep(jax.tree.map(jnp.copy, state), batch)
+    s_fused, m_fused = fused(jax.tree.map(jnp.copy, state), batch)
+    for k in m_sep:
+        np.testing.assert_allclose(
+            float(m_fused[k]), float(m_sep[k]), rtol=1e-5, err_msg=k
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        s_sep.params,
+        s_fused.params,
+    )
+
+
+@pytest.mark.slow
+def test_fused_content_tower_with_deeper_style_layers(vgg_params):
+    """Style layers deeper than the content split pool exercise the
+    continuation pass (vgg16.apply input_layer=pool3)."""
+    config = TrainConfig.make(
+        content_layers=("conv3_3",),
+        content_weights=(1.0,),
+        style_layers=("conv1_2", "conv4_1"),
+        style_weights=(5.0, 5.0),
+    )
+    rng = np.random.default_rng(0)
+    style = rng.uniform(0, 255, (1, SIZE, SIZE, 3)).astype(np.float32)
+    grams = slow_style.style_target_grams(
+        vgg_params, style, tuple(dict(config.style_weights))
+    )
+    sep = make_jitted_train_step(vgg_params, grams, config)
+    fused = make_jitted_train_step(vgg_params, grams, config, fused_content_tower=True)
+    batch = jnp.asarray(rng.uniform(0, 255, (1, SIZE, SIZE, 3)).astype(np.float32))
+    state = init_state(jax.random.PRNGKey(3), config)
+    _, m_sep = sep(jax.tree.map(jnp.copy, state), batch)
+    _, m_fused = fused(jax.tree.map(jnp.copy, state), batch)
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_sep["loss"]), rtol=1e-5)
 
 
 def test_metrics_decomposition(vgg_params, small_config, target_grams):
@@ -152,6 +206,7 @@ def test_slow_style_decreases_loss(vgg_params):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path, vgg_params, small_config):
     """Full loop: pipeline batches -> steps -> ckpt -> final npz -> resume."""
     from faststyle_tpu.training import loop
