@@ -247,28 +247,29 @@ def bench_dp_scaling(steps=10):
     base = results[f"{sizes[0]}way_ms_per_step"]
     top = sizes[-1]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu:
-        # real chips: ideal weak scaling keeps step time flat
-        ideal_top = base
-    else:
-        # virtual devices timeshare min(n, cores) host cores, so n-way
-        # IDEALLY takes n/min(n,cores) x the 1-way time; without this the
-        # metric reports host-core oversubscription, not sharding overhead
-        cores = os.cpu_count() or 1
-        ideal_top = base * top / min(top, cores)
-    results["weak_scaling_efficiency"] = round(
-        ideal_top / results[f"{top}way_ms_per_step"], 3
-    )
     results["mesh"] = f"{top}x {jax.devices()[0].platform}"
     results["per_chip_batch"] = per_chip_batch
-    results["note"] = (
-        "real ICI"
-        if on_tpu
-        else f"virtual CPU mesh on {os.cpu_count()} host cores "
-        "(sharding machinery, not ICI; efficiency normalized for core "
-        "timesharing — approximate when XLA intra-op threading lets the "
-        "1-way baseline use several cores)"
-    )
+    if on_tpu:
+        # real chips: ideal weak scaling keeps step time flat
+        results["weak_scaling_efficiency"] = round(
+            base / results[f"{top}way_ms_per_step"], 3
+        )
+        results["note"] = "real ICI"
+    else:
+        # Virtual CPU devices timeshare the host cores AND share XLA's
+        # intra-op thread pool, so n-way vs 1-way step time measures host
+        # oversubscription, not sharding overhead — no defensible efficiency
+        # scalar exists here (round 2 published a "normalized" one that came
+        # out >1.0; see VERDICT r2). The block validates that the sharded
+        # step compiles and runs at every mesh width; per-n times are left
+        # for reference only.
+        results["correctness_only"] = True
+        results["note"] = (
+            f"virtual CPU mesh on {os.cpu_count()} host cores: validates "
+            "collective/sharding machinery; step times reflect host core "
+            "timesharing, so no efficiency scalar is reported (needs >1 "
+            "real chips)"
+        )
     return results
 
 
@@ -304,18 +305,31 @@ def main():
 
     if args.dp:
         res = bench_dp_scaling(5 if args.quick else 10)
-        eff = res["weak_scaling_efficiency"]
-        print(
-            json.dumps(
-                {
-                    "metric": "dp_weak_scaling_efficiency",
-                    "value": eff,
-                    "unit": "x (1.0 = ideal)",
-                    "vs_baseline": eff,
-                    "details": res,
-                }
+        if "weak_scaling_efficiency" in res:  # real multi-chip mesh
+            eff = res["weak_scaling_efficiency"]
+            print(
+                json.dumps(
+                    {
+                        "metric": "dp_weak_scaling_efficiency",
+                        "value": eff,
+                        "unit": "x (1.0 = ideal)",
+                        "vs_baseline": eff,
+                        "details": res,
+                    }
+                )
             )
-        )
+        else:  # CPU-mesh fallback: correctness signal only
+            print(
+                json.dumps(
+                    {
+                        "metric": "dp_sharding_correctness",
+                        "value": 1,
+                        "unit": "ok (ran 1/2/4/8-way; no efficiency on a virtual mesh)",
+                        "vs_baseline": 1,
+                        "details": res,
+                    }
+                )
+            )
         return
 
     from faststyle_tpu.utils.profiling import enable_compilation_cache

@@ -11,6 +11,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# in-process CLI e2e drives compile real nets per test: full lane only
+pytestmark = pytest.mark.slow
+
 ROOT = Path(__file__).parent.parent
 CLI = ROOT / "cli"
 

@@ -98,6 +98,7 @@ def test_instance_norm_vjp_matches_autodiff(p, hp, wp, c, valid_hw):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_whole_net_grads_match_naive_path():
     """End-to-end: grads of a scalar loss through the packed path (custom
     VJPs + hoisted kernel packing) match grads through the naive lax path."""

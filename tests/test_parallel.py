@@ -40,6 +40,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8, "conftest must force 8 virtual CPU devices"
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device(setup):
     vgg_params, config, grams = setup
     mesh = mesh_lib.data_mesh()
@@ -66,6 +67,7 @@ def test_dp_train_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_dp_multiple_steps_stay_in_sync(setup):
     vgg_params, config, grams = setup
     mesh = mesh_lib.data_mesh()
@@ -125,6 +127,7 @@ def _single(params, img):
     return np.asarray(transform_net.apply(params, jnp.asarray(img)[None], layout="packed"))[0]
 
 
+@pytest.mark.slow
 def test_spatial_matches_single_device(starry):
     """8-way row sharding with psum'd IN stats == single-device forward."""
     from faststyle_tpu.parallel.spatial import SpatialStylizer
@@ -135,6 +138,7 @@ def test_spatial_matches_single_device(starry):
     np.testing.assert_allclose(out, _single(starry, img), atol=5e-2)
 
 
+@pytest.mark.slow
 def test_spatial_ragged_width(starry):
     from faststyle_tpu.parallel.spatial import SpatialStylizer
 
@@ -144,6 +148,7 @@ def test_spatial_ragged_width(starry):
     np.testing.assert_allclose(out, _single(starry, img), atol=5e-2)
 
 
+@pytest.mark.slow
 def test_spatial_halo_floor(starry):
     """The documented contamination bound: halo 16 is exact (the default 24
     carries margin); halo 8 must leak — if it doesn't, the bound analysis
@@ -159,6 +164,7 @@ def test_spatial_halo_floor(starry):
     assert np.abs(leaky - ref).max() > 0.5
 
 
+@pytest.mark.slow
 def test_spatial_auto_shard_reduction(starry):
     """Misaligned heights shard at the largest exact n' instead of
     approximating (4K's 2160 rows -> 6-way on an 8 mesh; prime-ish -> 1)."""
