@@ -174,3 +174,19 @@ def test_host_relayout_slab_parallel_exact(monkeypatch):
         np.testing.assert_array_equal(packed_par, inf.pack_u8_host(x))
         np.testing.assert_array_equal(unpacked_par, inf.unpack_u8_host(raw, h, w))
         monkeypatch.setattr(inf, "_HOST_WORKERS", 4)
+
+
+def test_warmup_compiles_every_signature(chicago_crop256):
+    """warmup() must pre-compile BOTH dtype signatures stylize_batch can hit
+    under output_uint8 (uint8 streaming frames AND float32 preprocessed
+    video) — a missed signature bills a cold compile to the first real
+    frame (minutes on tunneled runtimes)."""
+    s = Stylizer(ROOT / "models" / "starry_final.npz", output_uint8=True)
+    h, w = 64, 48
+    s.warmup(h, w)
+    n_sigs = s._fn._cache_size()
+    assert n_sigs == 2
+    # neither real-traffic dtype triggers a new trace now
+    s.stylize_batch(np.zeros((1, h, w, 3), np.uint8))
+    s.stylize_batch(np.zeros((1, h, w, 3), np.float32))
+    assert s._fn._cache_size() == n_sigs

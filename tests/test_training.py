@@ -274,3 +274,30 @@ def test_final_npz_loads_into_stylizer(tmp_path, vgg_params, small_config):
     out = s(rng.uniform(0, 255, (SIZE, SIZE, 3)).astype(np.float32))
     assert out.shape == (SIZE, SIZE, 3)
     assert out.dtype == np.uint8
+
+
+def test_metrics_logger_resume_conforms_to_existing_header(tmp_path):
+    """Resuming into an existing metrics.csv must keep columns aligned even
+    when the resumed run logs a different metric dict (new keys dropped,
+    absent keys left empty) — the round-2 behavior silently misaligned."""
+    import csv
+
+    from faststyle_tpu.utils.logging import MetricsLogger
+
+    log1 = MetricsLogger(tmp_path, "runA", echo=False)
+    log1.log(1, {"loss": 1.0, "style_loss": 2.0})
+    log1.log(2, {"loss": 0.5, "style_loss": 1.0})
+    log1.close()
+
+    # same run dir = resume; different key order + new key + missing key
+    log2 = MetricsLogger(tmp_path, "runA", echo=False)
+    log2.log(3, {"style_loss": 0.7, "loss": 0.3, "brand_new": 9.0})
+    log2.log(4, {"loss": 0.2})
+    log2.close()
+
+    with open(tmp_path / "runA" / "metrics.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["1", "2", "3", "4"]
+    assert rows[2]["loss"] == "0.3" and rows[2]["style_loss"] == "0.7"
+    assert "brand_new" not in rows[0]  # header unchanged by the resumed run
+    assert rows[3]["style_loss"] == ""  # absent key -> empty cell, not shift
