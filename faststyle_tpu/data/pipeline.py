@@ -108,7 +108,7 @@ class Batcher:
         num_decode_threads: int = 8,
         seed: int = 0,
         drop_remainder: bool = True,
-        verify_crc: bool = True,
+        verify_crc: Optional[bool] = None,
     ):
         if not files:
             raise ValueError("no input files")
@@ -123,7 +123,14 @@ class Batcher:
         # TF's RecordReader always CRC-checks; default on here too so a
         # bit-rotted shard raises instead of feeding garbage to JPEG decode.
         # Near-free with the native scanner (fs_scan_records does the CRC in
-        # the same pass that finds record boundaries).
+        # the same pass that finds record boundaries) — but the pure-Python
+        # fallback CRC is a per-byte loop that would cap ingest at a fraction
+        # of the device's appetite, so None (default) enables verification
+        # only when the native library loads; pass True to force it anyway.
+        if verify_crc is None:
+            from faststyle_tpu import native
+
+            verify_crc = native.load() is not None
         self._verify_crc = verify_crc
 
     def _record_stream(self) -> Iterator[bytes]:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, Optional
@@ -28,6 +29,7 @@ from faststyle_tpu.models import transform_net
 # 28 ms device time — host-bound without this; docs/PERF.md). Lazy so mere
 # import costs nothing.
 _host_pool: Optional[ThreadPoolExecutor] = None
+_host_pool_lock = threading.Lock()
 _HOST_WORKERS = min(8, os.cpu_count() or 1)
 # below this many packed block-rows the dispatch overhead beats the win
 _MIN_ROWS_PER_SLAB = 64
@@ -36,9 +38,11 @@ _MIN_ROWS_PER_SLAB = 64
 def _pool() -> ThreadPoolExecutor:
     global _host_pool
     if _host_pool is None:
-        _host_pool = ThreadPoolExecutor(
-            max_workers=_HOST_WORKERS, thread_name_prefix="fs-host-relayout"
-        )
+        with _host_pool_lock:  # threaded serving hosts race the first call
+            if _host_pool is None:
+                _host_pool = ThreadPoolExecutor(
+                    max_workers=_HOST_WORKERS, thread_name_prefix="fs-host-relayout"
+                )
     return _host_pool
 
 
@@ -227,8 +231,10 @@ class Stylizer:
         self._output_uint8 = output_uint8 or packed_output or packed_input
         self._packed_output = packed_output
         self._packed_input = packed_input
-        if (packed_output or packed_input) and upsample_method != "resize":
-            raise ValueError("packed I/O requires the packed path ('resize' models)")
+        if (packed_output or packed_input) and upsample_method not in (
+            transform_net.UPSAMPLE_METHODS
+        ):
+            raise ValueError(f"unknown upsample_method {upsample_method!r}")
         output_uint8 = self._output_uint8
 
         def fwd(p, x, hw=None):
@@ -241,6 +247,7 @@ class Stylizer:
                     output_layout="packed_u8" if packed_output else "nhwc",
                     input_layout="packed_u8" if packed_input else "nhwc",
                     input_hw=hw,
+                    upsample_method=upsample_method,
                 )
             return transform_net.apply(
                 p,
@@ -306,21 +313,24 @@ class Stylizer:
             return out
         return np.clip(out, 0, 255).astype(np.uint8)
 
-    def warmup(self, height: int, width: int) -> None:
+    def warmup(self, height: int, width: int, dtypes=None) -> None:
         """Pre-compile for a given input shape (streaming cold-start control).
 
-        Warms EVERY dtype signature stylize_batch can hit at this shape:
-        uint8 when output_uint8 (the streaming contract) AND float32 (video
-        pipelines that preprocess in float) — a cold cache compiles for
-        minutes per signature on tunneled runtimes, so missing one would
-        bill it to the first real frame. The packed_input path quantizes to
-        uint8 on host, so it has a single device signature."""
+        By default warms EVERY dtype signature stylize_batch can hit at this
+        shape: uint8 when output_uint8 (the streaming contract) AND float32
+        (video pipelines that preprocess in float) — a cold cache compiles
+        for minutes per signature on tunneled runtimes, so missing one would
+        bill it to the first real frame. A caller that KNOWS its traffic is
+        single-dtype passes `dtypes=[np.uint8]` (or float32) to pay only one
+        compile. The packed_input path quantizes to uint8 on host, so it has
+        a single device signature regardless."""
+        if dtypes is None:
+            if self._output_uint8:
+                dtypes = [np.uint8, np.float32]
+            else:
+                dtypes = [np.float32]
         if self._packed_input:
             dtypes = [np.uint8]
-        elif self._output_uint8:
-            dtypes = [np.uint8, np.float32]
-        else:
-            dtypes = [np.float32]
         for dt in dtypes:
             out = self.stylize_batch(np.zeros((1, height, width, 3), dt))
             # hard sync via a value fetch: on tunneled runtimes (axon)

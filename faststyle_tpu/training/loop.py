@@ -9,6 +9,7 @@ and a final weights-only save.
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 from typing import Optional
 
@@ -84,13 +85,19 @@ def train(
     # time at 72 steps/s). Instead hold the device arrays one tick and
     # convert them at the NEXT tick, when they are long since computed and
     # the fetch costs only the transfer of a few scalars.
+    # Every row carries the timestamp of ITS OWN dispatch tick (at_time), so
+    # steps_per_sec always measures tick-to-tick intervals — without this the
+    # flushed row would be stamped at the NEXT tick (or after a checkpoint
+    # save), distorting the rate around every flush.
     pending: Optional[tuple] = None
 
     def flush_pending():
         nonlocal pending
         if pending is not None:
-            p_step, p_metrics = pending
-            logger.log(p_step, {k: float(v) for k, v in p_metrics.items()})
+            p_step, p_metrics, p_time = pending
+            logger.log(
+                p_step, {k: float(v) for k, v in p_metrics.items()}, at_time=p_time
+            )
             pending = None
 
     try:
@@ -101,13 +108,17 @@ def train(
             final_state, metrics = step_fn(final_state, batch)
             step += 1
             if num_steps_ckpt > 0 and step % num_steps_ckpt == 0:
-                # device_get(state) below syncs anyway — log directly
+                # device_get(state) below syncs anyway — log directly (but
+                # stamp the row before the save so its rate excludes it)
                 flush_pending()
+                tick = time.perf_counter()
                 ckpt_lib.save(ckpt_dir, jax.device_get(final_state))
-                logger.log(step, {k: float(v) for k, v in metrics.items()})
+                logger.log(
+                    step, {k: float(v) for k, v in metrics.items()}, at_time=tick
+                )
             elif log_every > 0 and step % log_every == 0:
                 flush_pending()
-                pending = (step, metrics)
+                pending = (step, metrics, time.perf_counter())
         else:
             print("Done training (epochs exhausted).")
         flush_pending()

@@ -162,18 +162,19 @@ def make_train_step(
                     acts[name] = y_half
                     if name in content_w:
                         tgt[name] = jax.lax.stop_gradient(b_half)
+                # the split-pool activation seeds the continuation; drop it
+                # from the loss dict only if it is NOT itself a loss layer
+                pool_act = acts[split_pool] if split_pool in all_layers else acts.pop(split_pool)
                 if suffix_layers:
                     acts.update(
                         vgg16.apply(
                             vgg_params,
-                            acts.pop(split_pool),
+                            pool_act,
                             suffix_layers,
                             compute_dtype=config.compute_dtype,
                             input_layer=split_pool,
                         )
                     )
-                else:
-                    acts.pop(split_pool, None)
             else:
                 tgt = tgt_content
                 acts = vgg16.apply(

@@ -68,8 +68,14 @@ class MetricsLogger:
     def directory(self) -> Path:
         return self._dir
 
-    def log(self, step: int, metrics: Dict[str, float]) -> None:
-        now = time.perf_counter()
+    def log(
+        self, step: int, metrics: Dict[str, float], *, at_time: Optional[float] = None
+    ) -> None:
+        """`at_time` (a time.perf_counter() value) backdates the row to when
+        the step actually happened — the train loop fetches metrics one log
+        tick late (deferred device sync) and passes the tick's timestamp so
+        steps_per_sec measures tick-to-tick intervals, not fetch delays."""
+        now = time.perf_counter() if at_time is None else at_time
         row = {"step": step, "wall_time": time.time()}
         row.update({k: float(v) for k, v in metrics.items()})
         if self._last_step is not None and step > self._last_step:

@@ -192,8 +192,10 @@ def test_batcher_raises_on_corrupt_shard(tmp_path):
     raw[len(raw) // 2] ^= 0xFF  # flip a payload byte mid-file
     paths[0].write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="corrupt"):
+        # verify_crc=True forced so the test holds on hosts without the
+        # native scanner (where the None default degrades to no-verify)
         list(pipeline.Batcher(paths, batch_size=2, resize_shape=(16, 16),
-                              n_epochs=1, min_after_dequeue=2))
+                              n_epochs=1, min_after_dequeue=2, verify_crc=True))
     # explicit opt-out preserves the old permissive behavior
     list(pipeline.Batcher(paths, batch_size=2, resize_shape=(16, 16),
                           n_epochs=1, min_after_dequeue=2, verify_crc=False))

@@ -190,3 +190,23 @@ def test_warmup_compiles_every_signature(chicago_crop256):
     s.stylize_batch(np.zeros((1, h, w, 3), np.uint8))
     s.stylize_batch(np.zeros((1, h, w, 3), np.float32))
     assert s._fn._cache_size() == n_sigs
+
+
+def test_stylizer_packed_io_deconv_matches_plain(chicago_crop256):
+    """Packed-u8 I/O serving now covers 'deconv' models too (the packed walk
+    packs the sub-pixel phase decomposition) — equality vs the plain deconv
+    path, including a ragged size."""
+    from faststyle_tpu.inference import unpack_u8_host
+
+    net = ROOT / "tests" / "assets" / "deconv_oracle_net.npz"
+    img = chicago_crop256.astype(np.uint8)
+    plain = Stylizer(net, upsample_method="deconv", output_uint8=True)
+    pio = Stylizer(
+        net, upsample_method="deconv", packed_input=True, packed_output=True
+    )
+    want = np.asarray(plain.stylize_batch(img[None]))
+    raw = np.asarray(pio.stylize_batch(img[None]))
+    got = unpack_u8_host(raw, 256, 256)
+    np.testing.assert_array_equal(got, want)
+    ragged = img[:250, :243]
+    np.testing.assert_array_equal(pio(ragged), plain(ragged))

@@ -301,3 +301,27 @@ def test_metrics_logger_resume_conforms_to_existing_header(tmp_path):
     assert rows[2]["loss"] == "0.3" and rows[2]["style_loss"] == "0.7"
     assert "brand_new" not in rows[0]  # header unchanged by the resumed run
     assert rows[3]["style_loss"] == ""  # absent key -> empty cell, not shift
+
+
+def test_fused_content_tower_pool_loss_layer(vgg_params):
+    """A pool layer that is ITSELF a loss layer may coincide with the fused
+    tower's split pool — it must stay in the loss dict (regression: the
+    continuation unconditionally popped it)."""
+    config = TrainConfig.make(
+        content_layers=("pool2",),
+        content_weights=(1.0,),
+        style_layers=("conv1_2", "conv3_3"),
+        style_weights=(5.0, 5.0),
+    )
+    rng = np.random.default_rng(0)
+    style = rng.uniform(0, 255, (1, SIZE, SIZE, 3)).astype(np.float32)
+    grams = slow_style.style_target_grams(
+        vgg_params, style, tuple(dict(config.style_weights))
+    )
+    sep = make_jitted_train_step(vgg_params, grams, config)
+    fused = make_jitted_train_step(vgg_params, grams, config, fused_content_tower=True)
+    batch = jnp.asarray(rng.uniform(0, 255, (1, SIZE, SIZE, 3)).astype(np.float32))
+    state = init_state(jax.random.PRNGKey(3), config)
+    _, m_sep = sep(jax.tree.map(jnp.copy, state), batch)
+    _, m_fused = fused(jax.tree.map(jnp.copy, state), batch)
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_sep["loss"]), rtol=1e-5)
