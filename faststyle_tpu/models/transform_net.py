@@ -132,6 +132,7 @@ def apply(
     compute_dtype=None,
     layout: str = "auto",
     output_dtype=None,
+    batch_mode: str = "map",
 ) -> jax.Array:
     """Forward pass. `x`: NHWC, RGB in [0,255]; returns same shape in [0,255].
 
@@ -150,6 +151,11 @@ def apply(
     compute dtype afterwards (0..255 integers are exact in bf16, so this
     changes no math). Defaults to uint8-in -> uint8-out, float-in -> same
     float out.
+    `batch_mode` is forwarded to apply_packed for batched inputs: 'map'
+    (per-sample lax.map — the measured-faster program both for inference
+    AND inside the full train step) or 'direct' (one batched program —
+    faster for the tnet fwd+bwd in ISOLATION but slower once XLA
+    schedules it against the VGG towers; measurements in docs/PERF.md).
     """
     assert upsample_method in UPSAMPLE_METHODS
     assert layout in ("auto", "packed", "naive")
@@ -165,6 +171,7 @@ def apply(
             compute_dtype=compute_dtype,
             output_dtype=output_dtype,
             upsample_method=upsample_method,
+            batch_mode=batch_mode,
         )
     orig_dtype = x.dtype
     if compute_dtype is not None or orig_dtype == jnp.uint8:
