@@ -17,15 +17,21 @@ from typing import Dict, Optional
 
 
 def unique_run_name(base_dir: str | Path, model_name: str) -> str:
+    """Reference-style auto-unique run naming (`<model_name>N`,
+    train.py:209-217). Race-free: the name is CLAIMED by creating its
+    directory with exist_ok=False, so two trainers starting concurrently
+    under the same base_dir get distinct runs instead of interleaving one
+    CSV."""
     base = Path(base_dir)
     base.mkdir(parents=True, exist_ok=True)
-    existing = {p.name for p in base.iterdir() if p.is_dir()}
     count = 0
-    name = f"{model_name}0"
-    while name in existing:
-        count += 1
+    while True:
         name = f"{model_name}{count}"
-    return name
+        try:
+            (base / name).mkdir(exist_ok=False)
+            return name
+        except FileExistsError:
+            count += 1
 
 
 class MetricsLogger:
