@@ -263,7 +263,19 @@ def relu(x: jax.Array) -> jax.Array:
 
 
 def max_pool_2x2_same(x: jax.Array) -> jax.Array:
-    """2x2/stride-2 SAME max-pool, NHWC (reference libs/vgg16.py:67-71)."""
+    """2x2/stride-2 SAME max-pool, NHWC (reference libs/vgg16.py:67-71).
+
+    Even H and W (every training/loss shape: 256 -> 128 -> 64 -> 32) make
+    SAME == VALID with non-overlapping windows, so the pool is an exact
+    reshape + max over the window axes. That form matters for the BACKWARD:
+    autodiff of reduce_window lowers to `select-and-scatter`, which profiled
+    at ~1.2 ms/step of the b4@256 train step (docs/PERF.md round-3 trace);
+    the reshape-max gradient is an eq-mask select + broadcast fusion. Odd
+    extents keep the general reduce_window."""
+    n, h, w, c = x.shape
+    if h % 2 == 0 and w % 2 == 0:
+        win = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        return jnp.max(win, axis=(2, 4))
     return lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
