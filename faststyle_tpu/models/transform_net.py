@@ -329,8 +329,8 @@ def apply_packed(
     dtype = compute_dtype if compute_dtype is not None else (
         jnp.float32 if orig_dtype == jnp.uint8 else x.dtype
     )
-    assert batch_mode in ("map", "direct")  # direct: the measured-slower
-    # batched program, kept reachable for perf experiments (docs/PERF.md)
+    assert batch_mode in ("map", "direct", "unroll")  # non-default modes
+    # kept reachable for perf experiments (measurements in docs/PERF.md)
     assert upsample_method in UPSAMPLE_METHODS
     pk = pack_all_kernels(params, h, w, dtype, upsample_method)
     up_geom = _G_UP_DECONV if upsample_method == "deconv" else _G_UP
@@ -353,6 +353,21 @@ def apply_packed(
             orig_dtype,
             output_dtype,
         )
+    if n > 1 and batch_mode == "unroll":
+        # Unrolled per-sample execution: same b=1 programs as 'map', but as
+        # n independent subgraphs instead of a scan — XLA can interleave
+        # samples, and the loop-invariant packed-kernel cotangents tree-sum
+        # at the end instead of serializing through the scan carry (the
+        # select_add accumulations profiled ~1 ms/step at b4@256).
+        outs = [
+            _apply_packed_one(
+                pk, params, x[i : i + 1], dtype, output_dtype, output_layout,
+                pre_packed_hw=input_hw if input_layout == "packed_u8" else None,
+                up_geom=up_geom,
+            )
+            for i in range(n)
+        ]
+        return _cast_out(jnp.concatenate(outs, axis=0), orig_dtype, output_dtype)
     return _cast_out(
         _apply_packed_one(
             pk, params, x, dtype, output_dtype, output_layout,

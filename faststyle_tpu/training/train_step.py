@@ -143,8 +143,17 @@ def make_train_step(
             )
 
         def loss_fn(params):
+            # batch_mode='unroll': per-sample b=1 conv programs (like the
+            # inference-default 'map') but as independent subgraphs, so XLA
+            # interleaves samples and tree-sums the packed-kernel cotangents
+            # instead of serializing them through a scan carry — measured
+            # 12.8 -> 11.4 ms/step at b4@256 bf16 (docs/PERF.md round 3)
             y = transform_net.apply(
-                params, batch, config.upsample_method, compute_dtype=config.compute_dtype
+                params,
+                batch,
+                config.upsample_method,
+                compute_dtype=config.compute_dtype,
+                batch_mode="unroll",
             )
             if fused_content_tower:
                 n = batch.shape[0]

@@ -248,3 +248,14 @@ def test_uint8_io_batched_and_explicit_output_dtype(starry_params):
         transform_net.apply(starry_params, xf, output_dtype=jnp.uint8)
     )
     np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+
+@pytest.mark.parametrize("mode", ["direct", "unroll"])
+def test_batch_modes_match_map(mode, starry_params):
+    """Non-default batch modes (perf experiment knobs; 'unroll' is the train
+    step's program) must equal the default per-sample map numerically."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(0, 255, (3, 48, 40, 3)).astype(np.float32))
+    want = transform_net.apply_packed(starry_params, x, batch_mode="map")
+    got = transform_net.apply_packed(starry_params, x, batch_mode=mode)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3)
