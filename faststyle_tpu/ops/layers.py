@@ -253,8 +253,28 @@ def scaled_tanh(x: jax.Array) -> jax.Array:
     return ((255.0 * jnp.tanh(xf) + 255.0) / 2.0).astype(x.dtype)
 
 
+@jax.custom_vjp
 def relu(x: jax.Array) -> jax.Array:
     return jnp.maximum(x, 0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_bwd(y, ct):
+    # relu'(x) == (y > 0), so the OUTPUT is the only residual — without
+    # this, autodiff of maximum(x, 0) keeps the pre-activation x alive too,
+    # and XLA materializes both (the `broadcast_maximum` tuple outputs
+    # profiled ~1 ms/step of the b4@256 train step, docs/PERF.md round 3).
+    # Subgradient at exactly x == 0: this picks 0 (the TF/torch relu
+    # convention); stock jnp.maximum tie-splits to 0.5 — both valid, the
+    # difference is measure-zero for continuous activations.
+    return (jnp.where(y > 0, ct, 0),)
+
+
+relu.defvjp(_relu_fwd, _relu_bwd)
 
 
 # ---------------------------------------------------------------------------

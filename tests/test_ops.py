@@ -27,6 +27,20 @@ def test_instance_norm_matches_formula(rng):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_relu_custom_vjp_matches_maximum_grad(rng):
+    # relu carries a custom VJP (output-only residual, docs/PERF.md round 3);
+    # grads must equal autodiff of maximum(x, 0) away from exact-zero ties.
+    import jax
+
+    x = jnp.asarray(rng.standard_normal((8, 11)).astype(np.float32))
+    g_custom = jax.grad(lambda v: jnp.sum(jnp.sin(L.relu(v))))(x)
+    g_stock = jax.grad(lambda v: jnp.sum(jnp.sin(jnp.maximum(v, 0))))(x)
+    np.testing.assert_array_equal(np.asarray(g_custom), np.asarray(g_stock))
+    # At exactly 0 we pick the TF/torch convention relu'(0) = 0.
+    g0 = jax.grad(lambda v: jnp.sum(L.relu(v)))(jnp.zeros((3,)))
+    np.testing.assert_array_equal(np.asarray(g0), np.zeros(3, np.float32))
+
+
 def test_scaled_tanh_range_and_formula(rng):
     x = rng.standard_normal((1, 4, 4, 3)).astype(np.float32) * 5
     out = np.asarray(L.scaled_tanh(jnp.asarray(x)))
