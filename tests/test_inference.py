@@ -192,6 +192,7 @@ def test_warmup_compiles_every_signature(chicago_crop256):
     assert s._fn._cache_size() == n_sigs
 
 
+@pytest.mark.slow  # 15 s; resize-path packed I/O equality stays in the fast lane
 def test_stylizer_packed_io_deconv_matches_plain(chicago_crop256):
     """Packed-u8 I/O serving now covers 'deconv' models too (the packed walk
     packs the sub-pixel phase decomposition) — equality vs the plain deconv

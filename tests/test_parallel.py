@@ -105,6 +105,7 @@ def test_sharded_stylizer_pads_non_divisible_batches(starry_params):
     assert out.shape == (5, SIZE, SIZE, 3)
 
 
+@pytest.mark.slow  # 74 s; the driver runs this exact entry every round anyway
 def test_graft_dryrun():
     from faststyle_tpu.parallel import dryrun
 

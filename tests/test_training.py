@@ -124,6 +124,7 @@ def test_metrics_decomposition(vgg_params, small_config, target_grams):
     )
 
 
+@pytest.mark.slow  # 24 s; fast lane keeps the f32 train-step coverage
 def test_train_step_bfloat16_compute(vgg_params, target_grams):
     """bf16 compute_dtype must train (regression: preferred_element_type=f32
     on bf16 convs broke lax's conv transpose rule under autodiff)."""
@@ -147,6 +148,7 @@ def test_train_step_bfloat16_compute(vgg_params, target_grams):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow  # 18 s; deconv parity also pinned by the TF golden oracle
 def test_train_step_deconv_variant(vgg_params, target_grams):
     """The 'deconv' upsampling variant must train (transposed-conv grads)."""
     config = TrainConfig.make(
@@ -252,6 +254,7 @@ def test_train_loop_end_to_end(tmp_path, vgg_params, small_config):
     assert int(state2.step) == 6  # 4 (restored) + 2
 
 
+@pytest.mark.slow  # 18 s end-to-end train->save->serve; cli_e2e covers it too
 def test_final_npz_loads_into_stylizer(tmp_path, vgg_params, small_config):
     from faststyle_tpu.inference import Stylizer
     from faststyle_tpu.training import loop
@@ -303,6 +306,7 @@ def test_metrics_logger_resume_conforms_to_existing_header(tmp_path):
     assert rows[3]["style_loss"] == ""  # absent key -> empty cell, not shift
 
 
+@pytest.mark.slow  # default-off knob (docs/PERF.md dead end); 27 s
 def test_fused_content_tower_pool_loss_layer(vgg_params):
     """A pool layer that is ITSELF a loss layer may coincide with the fused
     tower's split pool — it must stay in the loss dict (regression: the
