@@ -113,7 +113,7 @@ def main():
     if args.num_synthetic_frames > 0:
         w, h = args.resolution if args.resolution else (800, 600)
         print(f"Synthetic stream at {w}x{h}; compiling...")
-        stylizer.warmup(h, w)
+        stylizer.warmup(h, w, dtypes=[np.uint8])  # frames are uint8-only here
         frames = synthetic_frames(args.num_synthetic_frames, h, w)
         t0 = time.perf_counter()
         pending = None
@@ -144,7 +144,7 @@ def main():
     y_new = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
     src_fps = cap.get(cv2.CAP_PROP_FPS) or 15.0
     print(f"Resolution is: {x_new} by {y_new}")
-    stylizer.warmup(y_new, x_new)
+    stylizer.warmup(y_new, x_new, dtypes=[np.uint8])  # cameras produce uint8
 
     fourcc = cv2.VideoWriter_fourcc(*"XVID")
     out_writer = cv2.VideoWriter(args.output_path, fourcc, src_fps, (x_new, y_new))

@@ -94,10 +94,6 @@ def init_params(rng: jax.Array, upsample_method: str = "resize") -> Params:
     return params
 
 
-def _in_relu(x, blk):  # conv already applied
-    return L.relu(L.instance_norm(x, blk["INscale"], blk["INshift"]))
-
-
 def output_shape(h: int, w: int) -> tuple[int, int]:
     """The net's spatial shape law (matches the reference's resize-upsample
     rounding, im_transf_net.py:56-70): H -> 4*ceil(ceil((H+80)/2)/2) - 80.
@@ -152,10 +148,11 @@ def apply(
     changes no math). Defaults to uint8-in -> uint8-out, float-in -> same
     float out.
     `batch_mode` is forwarded to apply_packed for batched inputs: 'map'
-    (per-sample lax.map — the measured-faster program both for inference
-    AND inside the full train step) or 'direct' (one batched program —
-    faster for the tnet fwd+bwd in ISOLATION but slower once XLA
-    schedules it against the VGG towers; measurements in docs/PERF.md).
+    (per-sample lax.map — the measured-faster program for inference),
+    'unroll' (the same per-sample programs as independent subgraphs —
+    faster under autodiff, what the train step uses), or 'direct' (one
+    batched program — faster for the tnet fwd+bwd in ISOLATION but slower
+    once XLA schedules it against the VGG towers; docs/PERF.md).
     """
     assert upsample_method in UPSAMPLE_METHODS
     assert layout in ("auto", "packed", "naive")
@@ -173,43 +170,19 @@ def apply(
             upsample_method=upsample_method,
             batch_mode=batch_mode,
         )
-    orig_dtype = x.dtype
-    if compute_dtype is not None or orig_dtype == jnp.uint8:
-        x = x.astype(compute_dtype if compute_dtype is not None else jnp.float32)
-
-    h = L.reflect_pad(x, 40)
-    for i, (_k, _ci, _co, s) in enumerate(_INIT_SPECS):
-        blk = params[f"initconv_{i}"]
-        h = _in_relu(L.conv2d(h, blk["W"], stride=s, padding="SAME"), blk)
-
-    for i in range(_NUM_RESBLOCKS):
-        blk = params[f"resblock_{i}"]
-        r = L.conv2d(h, blk["W1"], stride=1, padding="VALID")
-        r = L.relu(L.instance_norm(r, blk["INscale1"], blk["INshift1"]))
-        r = L.conv2d(r, blk["W2"], stride=1, padding="VALID")
-        r = L.instance_norm(r, blk["INscale2"], blk["INshift2"])
-        # center-crop the skip by 2 px/side: the VALID convs shrank r by 4
-        h = r + h[:, 2:-2, 2:-2, :]
-
-    for i in range(2):
-        blk = params[f"upsample_{i}"]
-        if upsample_method == "deconv":
-            u = L.transposed_conv2d(h, blk["W"], stride=2)
-        elif fused_upsample:
-            u = L.upsample_conv(h, blk["W"])
-        else:
-            u = L.upsample_conv_reference(h, blk["W"])
-        h = _in_relu(u, blk)
-
-    blk = params["upsample_2"]
-    if upsample_method == "deconv":
-        h = L.transposed_conv2d(h, blk["W"], stride=1)
-    else:
-        h = L.conv2d(h, blk["W"], stride=1, padding="SAME")
-    h = L.scaled_tanh(L.instance_norm(h, blk["INscale"], blk["INshift"]))
+    # Naive NHWC path: the single definition of the architecture walk lives
+    # in apply_with_features; the unused feature taps are dead outputs XLA
+    # eliminates under jit.
+    h, _ = apply_with_features(
+        params,
+        x,
+        upsample_method,
+        fused_upsample=fused_upsample,
+        compute_dtype=compute_dtype,
+    )
     if output_dtype == jnp.uint8:
         return jnp.clip(h, 0, 255).astype(jnp.uint8)
-    return h.astype(orig_dtype)
+    return h
 
 
 # packed-grid geometries (shape-independent); see ops.packed.axis_geom
@@ -289,7 +262,9 @@ def apply_packed(
     input_hw: tuple[int, int] | None = None,
     upsample_method: str = "resize",
 ) -> jax.Array:
-    """Space-to-depth execution of the 'resize' net: one pack at the input,
+    """Space-to-depth execution of the net (both upsample variants — the
+    'deconv' upsamples ride the same walk via their sub-pixel phase
+    decomposition, see pack_all_kernels): one pack at the input,
     one repack mid-upsampling, one unpack at the output; every conv runs on a
     packed grid with 48..512-wide channel dims (see ops.packed). Exact
     relayout of `apply` — same dot products, MXU-friendly shapes.
@@ -536,10 +511,13 @@ def apply_with_features(
     x: jax.Array,
     upsample_method: str = "resize",
     *,
+    fused_upsample: bool = True,
     compute_dtype=None,
 ) -> tuple[jax.Array, Dict[str, jax.Array]]:
-    """Forward pass that also returns intermediate activations, for
-    feature-matching teacher distillation (tools/distill_validation.py).
+    """The naive NHWC forward pass, also returning intermediate activations
+    (used directly for feature-matching teacher distillation,
+    tools/distill_validation.py; `apply(layout='naive')` delegates here and
+    drops the taps, so this is the ONE definition of the naive walk).
 
     Taps are PRE-nonlinearity (post instance-norm) so matching gradients are
     dense — a post-relu tap carries no gradient where the unit is off:
@@ -548,8 +526,8 @@ def apply_with_features(
       up_0..1     : post-IN, pre-relu
       pre_tanh    : final post-IN, before scaled_tanh
 
-    Runs the naive NHWC path (feature taps would force unpacks on the packed
-    path); output matches `apply(..., layout='naive')` exactly.
+    Returns the pre-clip float output: uint8-in yields float out here (the
+    clip+cast to uint8 is apply()'s output_dtype contract, not this fn's).
     """
     assert upsample_method in UPSAMPLE_METHODS
     orig_dtype = x.dtype
@@ -580,8 +558,10 @@ def apply_with_features(
         blk = params[f"upsample_{i}"]
         if upsample_method == "deconv":
             u = L.transposed_conv2d(h, blk["W"], stride=2)
-        else:
+        elif fused_upsample:
             u = L.upsample_conv(h, blk["W"])
+        else:
+            u = L.upsample_conv_reference(h, blk["W"])
         u = L.instance_norm(u, blk["INscale"], blk["INshift"])
         feats[f"up_{i}"] = u
         h = L.relu(u)

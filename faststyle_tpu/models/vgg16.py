@@ -109,6 +109,15 @@ def apply(
         idx = layer_index(input_layer) + 1
         if deepest < idx:
             raise ValueError(f"requested layers end before input_layer {input_layer}")
+        dropped = [l for l in wanted if layer_index(l) < idx]
+        if dropped:
+            # A mixed request would otherwise silently lose the shallow
+            # activations (the tower starts PAST them) and surface only much
+            # later as a KeyError in the loss — or not at all.
+            raise ValueError(
+                f"layers {sorted(dropped)} are at or below input_layer "
+                f"{input_layer} and cannot be computed from it"
+            )
         start_group = int(input_layer[4:]) + 1
         h = x if compute_dtype is None else x.astype(compute_dtype)
         loss_layout = False  # packing applies to block 1 only; we start past it

@@ -27,45 +27,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from faststyle_tpu.models import transform_net
 from faststyle_tpu.parallel.mesh import DATA_AXIS, batch_sharding, pad_batch_to_devices
-from faststyle_tpu.training.train_step import TrainConfig, TrainState, make_optimizer
-from faststyle_tpu import losses
-from faststyle_tpu.models import vgg16
+from faststyle_tpu.training.train_step import (
+    TrainConfig,
+    TrainState,
+    make_grad_fn,
+    make_optimizer,
+)
 
 
-def make_dp_train_step(vgg_params, target_grams: Mapping[str, jax.Array], config: TrainConfig, mesh: Mesh):
+def make_dp_train_step(
+    vgg_params,
+    target_grams: Mapping[str, jax.Array],
+    config: TrainConfig,
+    mesh: Mesh,
+    *,
+    fused_content_tower: bool = False,
+):
     """(replicated state, batch sharded on 'data') -> (state, metrics).
 
-    The loss/grad is computed per shard on the local batch; `psum` over
-    'data' of grads and loss terms reproduces the global-batch step exactly.
+    The loss/backward is `train_step.make_grad_fn` — the SAME definition the
+    single-chip step uses (batch-mode/layout wins included) — run per shard
+    on the local batch; `psum` over 'data' of grads and loss terms reproduces
+    the global-batch step exactly.
     """
-    content_w = dict(config.content_weights)
-    style_w = dict(config.style_weights)
-    all_layers = tuple(dict.fromkeys(tuple(content_w) + tuple(style_w)))
-    content_layers = tuple(content_w)
+    grad_fn = make_grad_fn(
+        vgg_params, target_grams, config, fused_content_tower=fused_content_tower
+    )
     opt = make_optimizer(config)
 
     def local_step(state: TrainState, batch: jax.Array):
-        tgt_content = vgg16.apply(
-            vgg_params,
-            batch,
-            content_layers,
-            compute_dtype=config.compute_dtype,
-            loss_layout=True,
-        )
-
-        def loss_fn(params):
-            y = transform_net.apply(
-                params, batch, config.upsample_method, compute_dtype=config.compute_dtype
-            )
-            acts = vgg16.apply(
-                vgg_params, y, all_layers, compute_dtype=config.compute_dtype, loss_layout=True
-            )
-            total, parts = losses.perceptual_loss(
-                acts, tgt_content, target_grams, content_w, style_w, y, config.beta
-            )
-            return total, parts
-
-        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        parts, grads = grad_fn(state.params, batch)
         # the only collectives in the step: grad + metric all-reduce over ICI
         grads = jax.lax.psum(grads, DATA_AXIS)
         parts = jax.lax.psum(parts, DATA_AXIS)

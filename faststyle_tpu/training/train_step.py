@@ -79,15 +79,20 @@ def init_state(rng: jax.Array, config: TrainConfig, params=None) -> TrainState:
     return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_train_step(
+def make_grad_fn(
     vgg_params,
     target_grams: Mapping[str, jax.Array],
     config: TrainConfig,
     *,
     fused_content_tower: bool = False,
 ):
-    """Build the (state, batch) -> (state, metrics) step function (un-jitted;
-    callers wrap in jit or shard_map).
+    """Build the shared loss/backward: (params, batch) -> (metrics, grads).
+
+    This is the ONE definition of the training loss — `make_train_step`
+    (single chip) applies the optimizer directly; `parallel.data_parallel.
+    make_dp_train_step` psums grads/metrics over the mesh first. Keeping it
+    factored means layout/batch-mode wins (e.g. batch_mode='unroll') land on
+    both paths at once.
 
     `fused_content_tower=True` runs ONE VGG pass on concat([batch, y]) up to
     the pool boundary after the deepest content layer (fatter batch-2N
@@ -101,7 +106,6 @@ def make_train_step(
     style_w = dict(config.style_weights)
     all_layers = tuple(dict.fromkeys(tuple(content_w) + tuple(style_w)))
     content_layers = tuple(content_w)
-    opt = make_optimizer(config)
 
     # pool boundary after the deepest content layer: the joint [batch; y]
     # prefix must cover every content layer AND stop on an unpacked layout
@@ -130,7 +134,7 @@ def make_train_step(
             return vgg16.PackedActivation(act.data[:n]), vgg16.PackedActivation(act.data[n:])
         return act[:n], act[n:]
 
-    def train_step(state: TrainState, batch: jax.Array):
+    def grad_fn(params, batch: jax.Array):
         if not fused_content_tower:
             # content targets = VGG features of the RAW batch (stop-grad by
             # construction)
@@ -198,7 +202,29 @@ def make_train_step(
             )
             return total, parts
 
-        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return parts, grads
+
+    return grad_fn
+
+
+def make_train_step(
+    vgg_params,
+    target_grams: Mapping[str, jax.Array],
+    config: TrainConfig,
+    *,
+    fused_content_tower: bool = False,
+):
+    """Build the (state, batch) -> (state, metrics) step function (un-jitted;
+    callers wrap in jit). Loss/backward shared with the DP step via
+    `make_grad_fn` (see its docstring for the fused_content_tower knob)."""
+    grad_fn = make_grad_fn(
+        vgg_params, target_grams, config, fused_content_tower=fused_content_tower
+    )
+    opt = make_optimizer(config)
+
+    def train_step(state: TrainState, batch: jax.Array):
+        parts, grads = grad_fn(state.params, batch)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), parts

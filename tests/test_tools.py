@@ -60,7 +60,7 @@ def test_distill_step_decreases_loss():
 
     teacher = transform_net.init_params(jax.random.PRNGKey(42))
     student = transform_net.init_params(jax.random.PRNGKey(0))
-    step_fn, opt = DV.make_distill_step(teacher, 1e-3, None, decay_steps=10)
+    step_fn, opt = DV.make_distill_step(1e-3, None, decay_steps=10)
     opt_state = opt.init(student)
     batch = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, (2, 64, 64, 3)), jnp.float32

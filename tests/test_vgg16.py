@@ -147,3 +147,14 @@ def test_loss_layout_gradients_finite(params):
 
     g = jax.grad(f)(x)
     assert bool(jnp.isfinite(g).all())
+
+
+def test_input_layer_mixed_request_raises(params):
+    """Layers at or below the input_layer boundary can't be computed from it;
+    a mixed request must raise, not silently drop the shallow activations."""
+    import pytest
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 16, 16, 128)), jnp.float32)
+    with pytest.raises(ValueError, match="at or below input_layer"):
+        vgg16.apply(params, x, ("conv1_2", "conv4_1"), input_layer="pool2")

@@ -49,7 +49,6 @@ from faststyle_tpu.utils.profiling import enable_compilation_cache  # noqa: E402
 
 
 def make_distill_step(
-    teacher_params,
     learn_rate: float,
     compute_dtype,
     decay_steps: int = 0,
@@ -133,7 +132,7 @@ def main() -> None:
     else:
         params = transform_net.init_params(jax.random.PRNGKey(0))
     step_fn, opt = make_distill_step(
-        teacher, args.learn_rate, dtype, decay_steps=args.steps,
+        args.learn_rate, dtype, decay_steps=args.steps,
         feature_w=args.feature_w,
     )
     opt_state = opt.init(params)
