@@ -48,16 +48,10 @@ _TF_DTYPES = {
 # ---------------------------------------------------------------------------
 
 
-def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
-    result = 0
-    shift = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return result, pos
-        shift += 7
+# One varint codec for the whole package: data.tfrecord owns the protobuf
+# wire helpers (this module already leans on its masked_crc32c).
+from faststyle_tpu.data.tfrecord import _read_varint  # noqa: E402
+from faststyle_tpu.data.tfrecord import _varint as _write_varint  # noqa: E402
 
 
 def _iter_proto_fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
@@ -158,9 +152,23 @@ def _snappy_decompress(data: bytes) -> bytes:
                 off = int.from_bytes(data[pos : pos + 4], "little")
                 pos += 4
             start = len(out) - off
+            if off == 0 or start < 0:
+                # a zero/overlong back-reference only arises from corrupt
+                # input; indexing through it would raise a bare IndexError
+                # (or silently read wrong bytes for off==0)
+                raise ValueError(
+                    f"corrupt snappy block: copy offset {off} at output "
+                    f"position {len(out)}"
+                )
             for i in range(ln):  # may self-overlap; byte-by-byte is correct
                 out.append(out[start + i])
-    assert len(out) == out_len, "snappy length mismatch"
+    # explicit raise, not assert: this guards file integrity and must
+    # survive `python -O`
+    if len(out) != out_len:
+        raise ValueError(
+            f"corrupt snappy block: decompressed {len(out)} bytes, header "
+            f"promised {out_len}"
+        )
     return bytes(out)
 
 
@@ -278,16 +286,7 @@ def load_transform_net_params(prefix: str | Path, scope: str = "img_t_net"):
 _NP_TO_TF = {np.dtype(k): v for v, k in _TF_DTYPES.items() if k is not np.bytes_}
 
 
-def _write_varint(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+# _write_varint: imported from data.tfrecord next to _read_varint above.
 
 
 def _encode_handle(offset: int, size: int) -> bytes:

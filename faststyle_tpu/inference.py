@@ -113,11 +113,17 @@ def unpack_u8_host(packed: np.ndarray, height: int, width: int, p: int = 4, c: i
                     ),
                     hb,
                 )
-        else:  # stale prebuilt .so without the row-range entry point
+        elif hasattr(lib, "fs_unpack_u8"):
+            # stale prebuilt .so without the row-range entry point
             for i in range(n):
                 lib.fs_unpack_u8(
                     packed[i].ctypes.data, out[i].ctypes.data, hb, wb, p, c, height, width
                 )
+        else:
+            # .so predates depth_to_space.cc entirely (codec symbols only,
+            # no compiler to rebuild): numpy fallback below
+            lib = None
+    if lib is not None:
         return out
     full = (
         packed.reshape(n, hb, wb, p, p, c)

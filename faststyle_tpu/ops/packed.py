@@ -53,11 +53,6 @@ def unpack_nhwc(x: jax.Array, p: int, c: int) -> jax.Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp * p, wp * p, c)
 
 
-def repack(x_packed: jax.Array, p_from: int, p_to: int, c: int) -> jax.Array:
-    """Change packing factor (one transpose pair XLA fuses into a copy)."""
-    return pack_nhwc(unpack_nhwc(x_packed, p_from, c), p_to)
-
-
 class AxisGeom(NamedTuple):
     """Packed-grid geometry of one conv axis.
 
@@ -78,7 +73,7 @@ class AxisGeom(NamedTuple):
 
 def axis_geom(p_in: int, p_out: int, stride: int, k: int, pad_lo: int) -> AxisGeom:
     t, rem = divmod(stride * p_out, p_in)
-    assert rem == 0, f"stride*p_out ({stride}*{p_out}) must divide p_in ({p_in})"
+    assert rem == 0, f"p_in ({p_in}) must divide stride*p_out ({stride}*{p_out})"
     B = (-pad_lo) // p_in  # floor division handles the negative case
     U = (stride * (p_out - 1) + k - 1 - pad_lo) // p_in
     return AxisGeom(p_in, p_out, stride, k, pad_lo, t, U - B + 1, B)
@@ -188,7 +183,13 @@ def packed_pads(g: AxisGeom, in_packed: int, out_packed: int) -> Tuple[int, int]
     exactly out_packed rows."""
     lo = max(0, -g.B)
     hi = g.t * (out_packed - 1) + (g.B + g.q - 1) - (in_packed - 1)
-    return lo, max(0, hi)
+    # hi < 0 would mean the caller asked for FEWER rows than the VALID conv
+    # emits — clamping would silently break the exact-row-count postcondition
+    # every downstream extent computation relies on.
+    assert hi >= 0, (
+        f"out_packed={out_packed} under-consumes in_packed={in_packed} for {g}"
+    )
+    return lo, hi
 
 
 def conv2d_packed(

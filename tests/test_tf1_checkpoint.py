@@ -105,3 +105,20 @@ def test_writer_readable_by_tensorflow(tmp_path):
     assert sorted(reader.get_variable_to_shape_map()) == sorted(tensors)
     for k, v in tensors.items():
         np.testing.assert_array_equal(reader.get_tensor(k), v)
+
+
+def test_snappy_corrupt_blocks_raise():
+    """Integrity guards must be explicit raises (assert would vanish under
+    python -O) and must reject zero/overlong copy offsets."""
+    import pytest
+
+    from faststyle_tpu.compat.tf1_checkpoint import _snappy_decompress
+
+    # literal 'abc' but header promises 5 decompressed bytes
+    bad_len = bytes([5, (2 << 2)]) + b"abc"
+    with pytest.raises(ValueError, match="corrupt snappy"):
+        _snappy_decompress(bad_len)
+    # copy tag (1-byte offset form) with offset 0
+    zero_off = bytes([4, (0 << 2) | 0]) + b"a" + bytes([(0 << 2) | 1, 0])
+    with pytest.raises(ValueError, match="copy offset"):
+        _snappy_decompress(zero_off)
