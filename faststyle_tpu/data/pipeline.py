@@ -201,25 +201,59 @@ def device_prefetch(batches: Iterator[np.ndarray], *, depth: int = 2, sharding=N
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     _SENTINEL = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone — a plain
+        q.put would block forever once the consumer abandons the generator
+        (e.g. the train loop breaking at num_steps_break), pinning the
+        feeder thread AND the source Batcher's shuffle buffer for the rest
+        of the process."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def feeder():
         try:
-            for batch in batches:
-                q.put(jax.device_put(batch, sharding))
-        except BaseException as e:  # surface pipeline failures to the consumer
-            q.put(e)
-        else:
-            q.put(_SENTINEL)
+            try:
+                for batch in batches:
+                    if not put(jax.device_put(batch, sharding)):
+                        return
+            except BaseException as e:  # surface pipeline failures
+                put(e)
+            else:
+                put(_SENTINEL)
+        finally:
+            # the feeder is the thread that iterates `batches`, so closing
+            # here is same-thread: the source generator's finally/GeneratorExit
+            # cleanup (decode pool + shuffle buffer teardown) actually runs
+            close = getattr(batches, "close", None)
+            if close is not None:
+                close()
 
     t = threading.Thread(target=feeder, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a feeder mid-put wakes immediately
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)
 
 
 def image_dir_batcher(
@@ -235,9 +269,6 @@ def image_dir_batcher(
     """
 
     class _DirBatcher(Batcher):
-        def __init__(self, files, **kw):
-            super().__init__(files, **kw)
-
         def _record_stream(self):
             epoch = 0
             while self._epochs is None or epoch < self._epochs:

@@ -19,10 +19,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gram_kernel(x_ref, out_ref, acc_ref, *, inv_norm):
+def _gram_kernel(x_ref, out_ref, acc_ref, *, inv_norm, hw, row_tile):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     x = x_ref[0]  # [tile, c]
+    if hw % row_tile:
+        # ragged hw: the last tile reads past the array bound (undefined
+        # values, possibly NaN) — select them to zero so they add nothing.
+        # In-kernel masking instead of a host-side jnp.pad, which would
+        # round-trip a full padded copy of the features through HBM on the
+        # style-loss hot path (the exact pattern that made the round-1
+        # instance-norm kernel lose to XLA).
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + j * row_tile
+        x = jnp.where(rows < hw, x, 0)
     part = jax.lax.dot_general(
         x, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -54,12 +63,11 @@ def _gram_forward(feats: jax.Array, row_tile: int, interpret: bool) -> jax.Array
     hw = h * w
     f = feats.reshape(b, hw, c)
     tiles = -(-hw // row_tile)
-    pad = tiles * row_tile - hw
-    if pad:
-        f = jnp.pad(f, ((0, 0), (0, pad), (0, 0)))  # zero rows add nothing
 
     return pl.pallas_call(
-        functools.partial(_gram_kernel, inv_norm=1.0 / (hw * c)),
+        functools.partial(
+            _gram_kernel, inv_norm=1.0 / (hw * c), hw=hw, row_tile=row_tile
+        ),
         grid=(b, tiles),
         in_specs=[pl.BlockSpec((1, row_tile, c), lambda i, j: (i, j, 0))],
         out_specs=pl.BlockSpec((1, c, c), lambda i, j: (i, 0, 0)),

@@ -154,11 +154,14 @@ def spatial_stylize_fn(
     *,
     compute_dtype=None,
     halo: int = DEFAULT_HALO,
+    upsample_method: str = "resize",
 ):
     """Build the jitted spatially-sharded forward for an (h, w) image.
 
     Returns fn(image[1,h,w,3] or [h,w,3]) -> [h,w,3] float32, with the
     output rows sharded over the mesh (materialize with np.asarray)."""
+    if upsample_method not in transform_net.UPSAMPLE_METHODS:
+        raise ValueError(f"unknown upsample_method {upsample_method!r}")
     n_shards = int(mesh.devices.size)
     if h % (4 * n_shards) != 0:
         raise ValueError(
@@ -185,10 +188,15 @@ def spatial_stylize_fn(
         window = lax.dynamic_slice(
             padded, (0, s0, 0, 0), (1, win, padded.shape[2], padded.shape[3])
         )
-        pk = transform_net.pack_all_kernels(params, win - 80, w, dtype)
+        pk = transform_net.pack_all_kernels(
+            params, win - 80, w, dtype, upsample_method
+        )
         in_norm = _SpatialNorm(s0, i, n_shards, schedule, DATA_AXIS)
         out = transform_net._apply_packed_one(
-            pk, params, window, dtype, in_norm=in_norm, pre_padded=True
+            pk, params, window, dtype, in_norm=in_norm, pre_padded=True,
+            up_geom=transform_net._G_UP_DECONV
+            if upsample_method == "deconv"
+            else transform_net._G_UP,
         )
         assert in_norm.calls == len(schedule), in_norm.calls
         # keep only the owned rows: global [i*hs, (i+1)*hs) -> local start
@@ -216,10 +224,12 @@ def spatial_stylize_fn(
     return fn
 
 
-def _single_device(params, compute_dtype, img):
+def _single_device(params, compute_dtype, upsample_method, img):
     if img.ndim == 3:
         img = img[None]
-    out = transform_net.apply_packed(params, img, compute_dtype=compute_dtype)
+    out = transform_net.apply_packed(
+        params, img, compute_dtype=compute_dtype, upsample_method=upsample_method
+    )
     return out[0].astype(jnp.float32)
 
 
@@ -239,13 +249,17 @@ class SpatialStylizer:
         *,
         compute_dtype=None,
         halo: int = DEFAULT_HALO,
+        upsample_method: str = "resize",
     ):
+        if upsample_method not in transform_net.UPSAMPLE_METHODS:
+            raise ValueError(f"unknown upsample_method {upsample_method!r}")
         self._params = jax.device_put(
             jax.tree.map(jnp.asarray, params), NamedSharding(mesh, P())
         )
         self._mesh = mesh
         self._dtype = compute_dtype
         self._halo = halo
+        self._upsample = upsample_method
         self._fns = {}
 
     def shards_for(self, h: int) -> int:
@@ -261,7 +275,7 @@ class SpatialStylizer:
             if n == 1:  # misaligned or tiny frame: exact single-device
                 self._fns[(h, w)] = jax.jit(
                     functools.partial(
-                        _single_device, self._params, self._dtype
+                        _single_device, self._params, self._dtype, self._upsample
                     )
                 )
             else:
@@ -273,12 +287,18 @@ class SpatialStylizer:
                     mesh,
                     compute_dtype=self._dtype,
                     halo=self._halo,
+                    upsample_method=self._upsample,
                 )
         return self._fns[(h, w)]
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
         """HWC (or 1HWC) RGB [0,255] -> stylized HWC float32 [0,255]."""
-        img = np.asarray(img)
+        # normalize to float32 BEFORE dispatch: the single-device fallback
+        # would otherwise take apply_packed's uint8-in -> uint8-out path
+        # (clip+round) while the sharded path returns continuous floats —
+        # the same pixel must not depend on whether its frame's height
+        # happened to shard
+        img = np.asarray(img, np.float32)
         if img.ndim == 4:
             img = img[0]
         return np.asarray(self._fn(img.shape[0], img.shape[1])(jnp.asarray(img)))

@@ -76,9 +76,14 @@ def optimize(
     c_layers = tuple(content_weights)
     s_layers = tuple(style_weights)
     all_layers = tuple(dict.fromkeys(c_layers + s_layers))
+    if not all_layers:
+        raise ValueError("need at least one content or style layer")
 
-    tgt_grams = style_target_grams(vgg_params, style_img, s_layers)
-    tgt_content = content_targets(vgg_params, content_img, c_layers)
+    # single-sided runs are legitimate (style-only = texture synthesis);
+    # skip the absent side's target pass instead of handing vgg16.apply an
+    # empty layer list
+    tgt_grams = style_target_grams(vgg_params, style_img, s_layers) if s_layers else {}
+    tgt_content = content_targets(vgg_params, content_img, c_layers) if c_layers else {}
 
     # white-noise init, uniform [0,255] (reference slow_style.py:118-119)
     key = jax.random.PRNGKey(seed)
@@ -112,8 +117,6 @@ def optimize(
 
     if log_every <= 0:
         log_every = num_steps  # "no periodic logging" -> one chunk
-    if len(content_weights) == 0 and len(style_weights) == 0:
-        raise ValueError("need at least one content or style layer")
     done = 0
     while done < num_steps:
         length = min(log_every, num_steps - done)  # never exceed the budget

@@ -242,3 +242,32 @@ def test_device_prefetch(tmp_path):
     assert len(got) == 5
     for i, g in enumerate(got):
         np.testing.assert_array_equal(np.asarray(g), arrs[i])
+
+
+def test_device_prefetch_abandonment_closes_source():
+    """Breaking out of training (num_steps_break) abandons the prefetch
+    generator; the feeder must stop and CLOSE the source iterator so the
+    Batcher's decode pool / shuffle buffer are torn down, not leaked."""
+    import gc
+    import time
+
+    closed = []
+
+    def batches():
+        try:
+            i = 0
+            while True:
+                yield np.full((1, 4, 4, 3), i, np.float32)
+                i += 1
+        finally:
+            closed.append(True)
+
+    it = pipeline.device_prefetch(batches(), depth=2)
+    next(it)
+    next(it)
+    it.close()  # what dropping the generator does at GC; explicit here
+    gc.collect()
+    deadline = time.time() + 5.0
+    while not closed and time.time() < deadline:
+        time.sleep(0.02)
+    assert closed, "feeder thread never closed the abandoned source iterator"

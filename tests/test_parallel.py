@@ -183,3 +183,39 @@ def test_spatial_auto_shard_reduction(starry):
     ref2 = _single(starry, img2)
     assert s.shards_for(122) == 1
     np.testing.assert_allclose(out2, ref2, atol=5e-2)
+
+
+@pytest.mark.slow
+def test_spatial_deconv_matches_single_device():
+    """Spatial sharding covers 'deconv' models (review r3: it used to
+    hard-code the resize phase kernels and crash on deconv weights)."""
+    from faststyle_tpu.parallel.spatial import SpatialStylizer
+
+    params = transform_net.init_params(jax.random.PRNGKey(7), "deconv")
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 255, (256, 64, 3)).astype(np.float32)
+    out = SpatialStylizer(params, mesh_lib.data_mesh(), upsample_method="deconv")(img)
+    ref = np.asarray(
+        transform_net.apply(
+            params, jnp.asarray(img)[None], "deconv", layout="packed"
+        )
+    )[0]
+    np.testing.assert_allclose(out, ref, atol=5e-2)
+
+
+@pytest.mark.slow
+def test_spatial_uint8_consistent_across_shard_choice(starry):
+    """uint8 frames must get the same treatment whether the height shards
+    (120 -> 6-way) or falls back to single-device (122): both normalize to
+    float32 first (review r3: the fallback used to clip+round via the
+    uint8-in fast path while the sharded path returned continuous floats)."""
+    from faststyle_tpu.parallel.spatial import SpatialStylizer
+
+    s = SpatialStylizer(starry, mesh_lib.data_mesh())
+    rng = np.random.default_rng(5)
+    for h in (120, 122):  # sharded and fallback
+        u8 = rng.integers(0, 256, (h, 64, 3), dtype=np.uint8)
+        np.testing.assert_allclose(
+            s(u8), s(u8.astype(np.float32)), atol=1e-4,
+            err_msg=f"h={h}",
+        )
