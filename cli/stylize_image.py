@@ -96,17 +96,41 @@ def stylize_directory(args, compute_dtype):
         params, mesh, upsample_method=args.upsample_method, compute_dtype=compute_dtype
     )
 
+    def probe_shape(path: Path):
+        # header-only size read (PIL decodes lazily) so grouping a huge
+        # directory doesn't hold every DECODED frame in memory at once —
+        # decode happens per batch chunk below, capping memory at one batch
+        import PIL.Image
+
+        with PIL.Image.open(path) as im:
+            w0, h0 = im.size
+        s = args.content_target_resize
+        if s != 1.0:
+            h0, w0 = round(h0 * s), round(w0 * s)
+        return (h0, w0, 3)
+
+    def load(path: Path):
+        return image_io.imresize(image_io.imread(path), args.content_target_resize)
+
     by_shape = {}
-    for f in files:
-        img = image_io.imresize(image_io.imread(f), args.content_target_resize)
-        by_shape.setdefault(img.shape, []).append((f, img))
+    try:
+        for f in files:
+            by_shape.setdefault(probe_shape(f), []).append(f)
+    except ImportError:  # no PIL: decode-probe, still streaming per chunk
+        by_shape = {}
+        for f in files:
+            by_shape.setdefault(load(f).shape, []).append(f)
     done = 0
-    for shape, items in by_shape.items():
-        for i in range(0, len(items), args.batch_size):
-            chunk = items[i : i + args.batch_size]
-            batch = np.stack([img for _, img in chunk]).astype(np.float32)
+    for shape, paths in by_shape.items():
+        for i in range(0, len(paths), args.batch_size):
+            chunk = paths[i : i + args.batch_size]
+            batch = np.stack([load(f) for f in chunk]).astype(np.float32)
+            if batch.shape[1:] != tuple(shape):  # probe/decode disagreement
+                raise SystemExit(
+                    f"{chunk[0]}: decoded shape {batch.shape[1:]} != probed {shape}"
+                )
             out = stylizer.stylize_batch(batch)
-            for (f, _), img_out in zip(chunk, out):
+            for f, img_out in zip(chunk, out):
                 image_io.imwrite(out_dir / f"styled_{f.name}", img_out)
                 done += 1
             print(f"{done}/{len(files)} done ({shape[1]}x{shape[0]})")

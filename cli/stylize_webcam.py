@@ -166,6 +166,10 @@ def main():
     pending = None  # dispatch frame N, then fetch frame N-1: capture/encode
     try:  # overlap with TPU compute via JAX's async dispatch
         while True:
+            # bound check BEFORE dispatching: --max_frames 0 must process
+            # zero frames, not dispatch-then-emit one
+            if 0 <= args.max_frames <= count + (pending is not None):
+                break
             ret, frame = cap.read()
             if not ret:
                 break
@@ -178,8 +182,6 @@ def main():
                     pending = None
                     break
             pending = styled
-            if 0 <= args.max_frames <= count + 1:
-                break
         if pending is not None:
             count += 1
             emit(pending)

@@ -33,17 +33,25 @@ _MASK_DELTA = 0xA282EAD8
 # crc32c — pure-Python fallback (table-driven)
 # ---------------------------------------------------------------------------
 
-_CRC_TABLE: List[int] = []
+_CRC_TABLE: Tuple[int, ...] = ()
 
 
-def _crc_table() -> List[int]:
+def _crc_table() -> Tuple[int, ...]:
+    # Built into a LOCAL and published with one atomic global assignment:
+    # writer threads hit the first call concurrently (no-native fallback),
+    # and interleaved appends to a shared list would scramble the table —
+    # every CRC after that silently wrong. Worst case here is two threads
+    # both building it once.
+    global _CRC_TABLE
     if not _CRC_TABLE:
         poly = 0x82F63B78
+        table = []
         for i in range(256):
             crc = i
             for _ in range(8):
                 crc = (crc >> 1) ^ (poly if crc & 1 else 0)
-            _CRC_TABLE.append(crc)
+            table.append(crc)
+        _CRC_TABLE = tuple(table)
     return _CRC_TABLE
 
 

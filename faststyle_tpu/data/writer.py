@@ -25,12 +25,12 @@ import numpy as np
 from faststyle_tpu.data import tfrecord
 from faststyle_tpu.utils import image_io
 
-_EXTS = {".jpg", ".jpeg", ".png", ".JPG", ".JPEG", ".PNG"}
+_EXTS = {".jpg", ".jpeg", ".png"}
 
 
 def find_image_files(directory: str | Path, seed: int = 12345) -> List[Path]:
     """Flat-glob image files and shuffle deterministically (reference :288-316)."""
-    files = sorted(p for p in Path(directory).iterdir() if p.suffix in _EXTS)
+    files = sorted(p for p in Path(directory).iterdir() if p.suffix.lower() in _EXTS)
     rng = random.Random(seed)
     rng.shuffle(files)
     return files
@@ -54,14 +54,37 @@ def _encode_jpeg(img: np.ndarray) -> bytes:
         return buf.getvalue()
 
 
+def _native_channels(data: bytes) -> int:
+    """Channel count of the ORIGINAL encoded image (imread force-converts to
+    RGB, so checking its output can never catch a grayscale/CMYK source)."""
+    try:
+        import cv2
+
+        raw = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+        if raw is None:
+            raise ValueError("undecodable")
+        return 1 if raw.ndim == 2 else raw.shape[2]
+    except ImportError:
+        import io
+
+        from PIL import Image
+
+        return len(Image.open(io.BytesIO(data)).getbands())
+
+
 def _process_file(path: Path) -> tuple[bytes, int, int]:
-    """Return (jpeg_bytes, height, width); re-encode non-JPEG, verify 3-channel."""
+    """Return (jpeg_bytes, height, width).
+
+    The Example schema hardcodes channels=3/colorspace=RGB, so the stored
+    bytes must actually be 3-channel: PNGs are re-encoded to JPEG
+    (reference :171-174) and non-RGB sources (grayscale/CMYK JPEGs) are
+    re-encoded from their forced-RGB decode rather than written raw."""
     data = path.read_bytes()
-    img = image_io.imread(path)  # decodes + converts to RGB; raises if broken
+    img = image_io.imdecode(data)  # decode the bytes we hold: one disk read
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"{path}: expected 3-channel RGB, got {img.shape}")
-    if path.suffix.lower() == ".png":
-        data = _encode_jpeg(img)
+    if path.suffix.lower() == ".png" or _native_channels(data) != 3:
+        data = _encode_jpeg(img.astype(np.uint8))
     return data, img.shape[0], img.shape[1]
 
 
@@ -92,21 +115,30 @@ def write_dataset(
     processed = [0]
     lock = threading.Lock()
 
+    fatal: List[BaseException] = []
+
     def worker(shard_ids: Sequence[int]):
-        for si in shard_ids:
-            with tfrecord.RecordWriter(shard_paths[si]) as w:
-                for path in files[spacing[si] : spacing[si + 1]]:
-                    try:
-                        jpeg, h, width = _process_file(path)
-                    except Exception as e:  # skip unreadable files, keep going
+        try:
+            for si in shard_ids:
+                with tfrecord.RecordWriter(shard_paths[si]) as w:
+                    for path in files[spacing[si] : spacing[si + 1]]:
+                        try:
+                            jpeg, h, width = _process_file(path)
+                        except Exception as e:  # skip unreadable files, keep going
+                            with lock:
+                                errors.append(f"{path}: {e}")
+                            continue
+                        w.write(tfrecord.encode_image_example(jpeg, h, width, path.name))
                         with lock:
-                            errors.append(f"{path}: {e}")
-                        continue
-                    w.write(tfrecord.encode_image_example(jpeg, h, width, path.name))
-                    with lock:
-                        processed[0] += 1
-                        if processed[0] % log_every == 0:
-                            print(f"[writer] {processed[0]}/{len(files)} images")
+                            processed[0] += 1
+                            if processed[0] % log_every == 0:
+                                print(f"[writer] {processed[0]}/{len(files)} images")
+        except BaseException as e:
+            # shard-level failures (ENOSPC on write, unopenable output path)
+            # must fail the conversion, not die silently with the thread —
+            # a 'successful' run with missing shards trains on partial data
+            with lock:
+                fatal.append(e)
 
     shards_per_thread = num_shards // num_threads
     threads = [
@@ -120,6 +152,10 @@ def write_dataset(
         t.start()
     for t in threads:
         t.join()
+    if fatal:
+        raise RuntimeError(
+            f"{len(fatal)} writer thread(s) failed; dataset is incomplete"
+        ) from fatal[0]
     if errors:
         print(f"[writer] skipped {len(errors)} unreadable files")
     print(f"[writer] wrote {processed[0]} images into {num_shards} shards")

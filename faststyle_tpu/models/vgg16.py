@@ -189,7 +189,11 @@ def load_npz(path) -> Dict[str, Dict[str, np.ndarray]]:
         if key.startswith("fc"):
             continue
         name, kind = key.rsplit("_", 1)
-        params.setdefault(name, {})["W" if kind == "W" else "b"] = raw[key].astype(np.float32)
+        if kind not in ("W", "b"):
+            # an unknown suffix must not silently land as a bias (a stray
+            # 'conv1_1_mean' key would clobber the real conv1_1 bias)
+            raise ValueError(f"{path}: unrecognized weight key {key!r}")
+        params.setdefault(name, {})[kind] = raw[key].astype(np.float32)
     missing = [n for g in _GROUPS for n in g if n not in params]
     if missing:
         raise ValueError(f"{path} missing VGG16 layers: {missing}")

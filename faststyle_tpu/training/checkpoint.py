@@ -11,6 +11,7 @@ gives real crash-resume — the framework's failure-recovery story
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 from pathlib import Path
@@ -24,6 +25,12 @@ from faststyle_tpu.training.train_step import TrainState
 _STEP_RE = re.compile(r"step_(\d+)$")
 
 
+class CheckpointMismatch(ValueError):
+    """A readable checkpoint whose leaves don't fit the template (wrong
+    model/config) — NOT file corruption, so restore_latest must not skip
+    past it to an older checkpoint."""
+
+
 def _flatten(tree) -> dict:
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
@@ -35,10 +42,22 @@ def save(ckpt_dir: str | Path, state: TrainState, *, keep: int = 5) -> Path:
     path = Path(ckpt_dir) / f"step_{step}"
     tmp = path.with_name(path.name + ".tmp")
     tmp.mkdir(parents=True, exist_ok=True)
-    np.savez(tmp / "state.npz", **_flatten(state))
+    with open(tmp / "state.npz", "wb") as f:
+        np.savez(f, **_flatten(state))
+        # flush data blocks before the rename publishes the dir: rename-then-
+        # crash must never leave a step_<N> whose state.npz is empty/partial
+        f.flush()
+        os.fsync(f.fileno())
     if path.exists():
-        shutil.rmtree(path)
-    tmp.rename(path)
+        shutil.rmtree(path, ignore_errors=True)
+    try:
+        tmp.rename(path)
+    except OSError:
+        # two trainers sharing training/<model_name> can race the rmtree
+        # above (the dir is keyed by model name, as in the reference);
+        # replace the other run's entry instead of dying mid-train
+        shutil.rmtree(path, ignore_errors=True)
+        tmp.rename(path)
     # retention
     steps = sorted(all_steps(ckpt_dir))
     for old in steps[:-keep]:
@@ -70,10 +89,12 @@ def restore(ckpt_dir: str | Path, step: int, template: TrainState) -> TrainState
     for key, tmpl in zip(flat_paths, leaves_template):
         arr = data[key]
         if arr.shape != np.shape(tmpl):
-            raise ValueError(f"checkpoint leaf {key} shape {arr.shape} != template {np.shape(tmpl)}")
+            raise CheckpointMismatch(
+                f"checkpoint leaf {key} shape {arr.shape} != template {np.shape(tmpl)}"
+            )
         tmpl_dtype = np.result_type(tmpl)
         if arr.dtype != tmpl_dtype:
-            raise ValueError(
+            raise CheckpointMismatch(
                 f"checkpoint leaf {key} dtype {arr.dtype} != template {tmpl_dtype}"
             )
         leaves.append(jax.numpy.asarray(arr))
@@ -81,7 +102,20 @@ def restore(ckpt_dir: str | Path, step: int, template: TrainState) -> TrainState
 
 
 def restore_latest(ckpt_dir: str | Path, template: TrainState) -> Optional[TrainState]:
-    steps = all_steps(ckpt_dir)
+    """Restore the newest READABLE checkpoint: an unreadable newest dir
+    (half-written by a crash predating the fsync above, bit-rot) falls back
+    to the next-oldest instead of permanently bricking --resume — the whole
+    point of keeping `keep` checkpoints."""
+    steps = sorted(all_steps(ckpt_dir), reverse=True)
     if not steps:
         return None
-    return restore(ckpt_dir, max(steps), template)
+    last_err: Exception | None = None
+    for step in steps:
+        try:
+            return restore(ckpt_dir, step, template)
+        except CheckpointMismatch:
+            raise  # wrong template/model, not corruption
+        except Exception as e:  # unreadable npz: try the next-oldest
+            print(f"[checkpoint] step_{step} unreadable ({e}); trying older")
+            last_err = e
+    raise RuntimeError(f"no readable checkpoint in {ckpt_dir}") from last_err

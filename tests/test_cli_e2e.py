@@ -179,3 +179,72 @@ def test_stylize_webcam_packed_fetch(monkeypatch, capsys):
         monkeypatch,
     )
     assert "fps" in capsys.readouterr().out
+
+
+def test_stylize_webcam_video_max_frames(tmp_path, monkeypatch):
+    """--video_path source with --max_frames N processes exactly N frames;
+    N=0 writes an empty output (review r3: it used to dispatch-then-emit 1)."""
+    cv2 = pytest.importorskip("cv2")
+
+    src = tmp_path / "src.avi"
+    wr = cv2.VideoWriter(
+        str(src), cv2.VideoWriter_fourcc(*"XVID"), 5.0, (64, 48)
+    )
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        wr.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    wr.release()
+
+    def frames_in(path):
+        cap = cv2.VideoCapture(str(path))
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        return n
+
+    for max_frames, want in ((0, 0), (2, 2)):
+        out = tmp_path / f"out_{max_frames}.avi"
+        _run(
+            "stylize_webcam",
+            [
+                "--model_path", str(ROOT / "models/starry_final.npz"),
+                "--video_path", str(src),
+                "--output_path", str(out),
+                "--max_frames", str(max_frames),
+                "--no_display",
+                "--precision", "float32",
+            ],
+            monkeypatch,
+        )
+        assert frames_in(out) == want, (max_frames, want)
+
+
+def test_stylize_image_dir_mode(tmp_path, monkeypatch):
+    """--input_dir streams shape-grouped batches (header-probe grouping, one
+    decoded batch in memory at a time) through the sharded stylizer."""
+    from faststyle_tpu.utils import image_io
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i, hw in enumerate([(48, 64), (48, 64), (40, 56)]):
+        image_io.imwrite(
+            d / f"f{i}.png", rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        )
+    out = tmp_path / "out"
+    _run(
+        "stylize_image",
+        [
+            "--model_path", str(ROOT / "models/starry_final.npz"),
+            "--input_dir", str(d),
+            "--output_dir", str(out),
+            "--batch_size", "2",
+            "--precision", "float32",
+        ],
+        monkeypatch,
+    )
+    got = sorted(p.name for p in out.iterdir())
+    assert got == ["styled_f0.png", "styled_f1.png", "styled_f2.png"]
+    for i, hw in enumerate([(48, 64), (48, 64), (40, 56)]):
+        assert image_io.imread(out / f"styled_f{i}.png").shape == (*hw, 3)

@@ -271,3 +271,36 @@ def test_device_prefetch_abandonment_closes_source():
     while not closed and time.time() < deadline:
         time.sleep(0.02)
     assert closed, "feeder thread never closed the abandoned source iterator"
+
+
+def test_writer_reencodes_grayscale_jpeg(tmp_path):
+    """The Example schema hardcodes channels=3; a grayscale JPEG source must
+    be re-encoded from its RGB decode, not stored as raw 1-channel bytes."""
+    from PIL import Image
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (20, 24), dtype=np.uint8), "L"
+    ).save(d / "gray.jpg")
+    paths = writer.write_dataset(d, tmp_path / "o", num_shards=1, num_threads=1)
+    ex = tfrecord.decode_example(next(iter(tfrecord.iter_records(paths[0], verify=True))))
+    img = pipeline._decode_resize(ex["image/encoded"], None)
+    assert img.shape == (20, 24, 3)
+    from faststyle_tpu.data.writer import _native_channels
+
+    assert _native_channels(ex["image/encoded"]) == 3
+
+
+def test_writer_thread_failure_raises(tmp_path, monkeypatch):
+    """A worker thread dying (ENOSPC on write, unopenable shard) must fail
+    write_dataset loudly instead of returning a partial dataset."""
+    imgs = _make_images(tmp_path, n=4)
+
+    class Boom(tfrecord.RecordWriter):
+        def write(self, *a, **k):
+            raise OSError("disk full")
+
+    monkeypatch.setattr(tfrecord, "RecordWriter", Boom)
+    with pytest.raises(RuntimeError, match="incomplete"):
+        writer.write_dataset(imgs, tmp_path / "o2", num_shards=2, num_threads=2)

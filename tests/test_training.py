@@ -329,3 +329,17 @@ def test_fused_content_tower_pool_loss_layer(vgg_params):
     _, m_sep = sep(jax.tree.map(jnp.copy, state), batch)
     _, m_fused = fused(jax.tree.map(jnp.copy, state), batch)
     np.testing.assert_allclose(float(m_fused["loss"]), float(m_sep["loss"]), rtol=1e-5)
+
+
+def test_restore_latest_falls_back_past_corrupt_newest(tmp_path, small_config, capsys):
+    """A half-written newest checkpoint (crash mid-save on a pre-fsync
+    kernel) must not brick --resume: fall back to the next-oldest readable
+    one — that is what retention keeps them for."""
+    state = init_state(jax.random.PRNGKey(2), small_config)
+    ckpt_lib.save(tmp_path, state._replace(step=jnp.asarray(3, jnp.int32)))
+    ckpt_lib.save(tmp_path, state._replace(step=jnp.asarray(5, jnp.int32)))
+    (tmp_path / "step_5" / "state.npz").write_bytes(b"not a zipfile")
+    template = init_state(jax.random.PRNGKey(3), small_config)
+    restored = ckpt_lib.restore_latest(tmp_path, template)
+    assert int(restored.step) == 3
+    assert "unreadable" in capsys.readouterr().out
