@@ -108,9 +108,11 @@ def bench_packed_io(frames=60):
     return round(device_fps, 2), round(host_ms, 2)
 
 
-def bench_train_step(steps=20, precision="float32"):
+def bench_train_step(steps=20, precision="float32", fused_content_tower=False):
     """Train step/sec at the reference recipe shapes (batch 4 @ 256px),
-    synthetic data, random VGG (weights don't change the math's cost)."""
+    synthetic data, random VGG (weights don't change the math's cost).
+    `fused_content_tower` measures the default-off knob (docs/PERF.md) with
+    the same harness — tools/measure_fused_tower.py calls this."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -132,7 +134,9 @@ def bench_train_step(steps=20, precision="float32"):
     grams = slow_style.style_target_grams(
         vgg_params, style, tuple(dict(config.style_weights))
     )
-    step_fn = make_jitted_train_step(vgg_params, grams, config)
+    step_fn = make_jitted_train_step(
+        vgg_params, grams, config, fused_content_tower=fused_content_tower
+    )
     state = init_state(jax.random.PRNGKey(1), config)
     # device-resident batch: real training overlaps host->device transfer via
     # data.pipeline.device_prefetch, so the step-rate metric excludes it

@@ -97,8 +97,16 @@ def unpack_u8_host(packed: np.ndarray, height: int, width: int, p: int = 4, c: i
     while the device computes the next frame — with a pure-numpy fallback.
     """
     packed = np.ascontiguousarray(packed)
+    if packed.dtype != np.uint8 or packed.ndim != 4:
+        raise ValueError(f"expected uint8 NHWC packed array, got {packed.dtype} ndim={packed.ndim}")
     n, hb, wb, cc = packed.shape
-    assert cc == p * p * c and height <= hb * p and width <= wb * p
+    # explicit raises, not asserts: these precondition the raw-pointer native
+    # kernel below — stripped under python -O they'd become OOB writes
+    if cc != p * p * c or height > hb * p or width > wb * p:
+        raise ValueError(
+            f"packed shape {packed.shape} inconsistent with p={p}, c={c}, "
+            f"target {height}x{width}"
+        )
     from faststyle_tpu import native
 
     lib = native.load()
@@ -142,7 +150,12 @@ def pack_u8_host(imgs: np.ndarray, pad: int = 40, p: int = 4) -> np.ndarray:
     boundary relayout (docs/PERF.md). Native C++ kernel (GIL released) with
     a pure-numpy fallback."""
     imgs = np.ascontiguousarray(imgs)
-    assert imgs.dtype == np.uint8 and imgs.ndim == 4 and imgs.shape[-1] == 3
+    # explicit raise (python -O strips asserts; this guards a raw-pointer kernel)
+    if imgs.dtype != np.uint8 or imgs.ndim != 4 or imgs.shape[-1] != 3:
+        raise ValueError(
+            f"pack_u8_host needs uint8 NHWC RGB frames, got {imgs.dtype} "
+            f"shape {imgs.shape}"
+        )
     n, h, w, _ = imgs.shape
     if h <= pad or w <= pad:
         raise ValueError(

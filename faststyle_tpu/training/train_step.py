@@ -106,28 +106,35 @@ def make_grad_fn(
     style_w = dict(config.style_weights)
     all_layers = tuple(dict.fromkeys(tuple(content_w) + tuple(style_w)))
     content_layers = tuple(content_w)
+    if not all_layers:
+        raise ValueError("need at least one content or style layer")
+    if fused_content_tower and not content_layers:
+        # nothing to fuse without a content tower; fall back to the plain
+        # form instead of crashing on the split-pool computation below
+        fused_content_tower = False
 
-    # pool boundary after the deepest content layer: the joint [batch; y]
-    # prefix must cover every content layer AND stop on an unpacked layout
-    deepest_content = max(vgg16.layer_index(l) for l in content_layers)
-    split_pool = next(
-        name
-        for name in vgg16.LAYER_ORDER[deepest_content:]
-        if name.startswith("pool")
-    )
-    prefix_layers = tuple(
-        dict.fromkeys(
-            tuple(
-                l
-                for l in all_layers
-                if vgg16.layer_index(l) <= vgg16.layer_index(split_pool)
-            )
-            + (split_pool,)
+    if fused_content_tower:
+        # pool boundary after the deepest content layer: the joint [batch; y]
+        # prefix must cover every content layer AND stop on an unpacked layout
+        deepest_content = max(vgg16.layer_index(l) for l in content_layers)
+        split_pool = next(
+            name
+            for name in vgg16.LAYER_ORDER[deepest_content:]
+            if name.startswith("pool")
         )
-    )
-    suffix_layers = tuple(
-        l for l in all_layers if vgg16.layer_index(l) > vgg16.layer_index(split_pool)
-    )
+        prefix_layers = tuple(
+            dict.fromkeys(
+                tuple(
+                    l
+                    for l in all_layers
+                    if vgg16.layer_index(l) <= vgg16.layer_index(split_pool)
+                )
+                + (split_pool,)
+            )
+        )
+        suffix_layers = tuple(
+            l for l in all_layers if vgg16.layer_index(l) > vgg16.layer_index(split_pool)
+        )
 
     def split_halves(act, n):
         if isinstance(act, vgg16.PackedActivation):
@@ -137,13 +144,17 @@ def make_grad_fn(
     def grad_fn(params, batch: jax.Array):
         if not fused_content_tower:
             # content targets = VGG features of the RAW batch (stop-grad by
-            # construction)
-            tgt_content = vgg16.apply(
-                vgg_params,
-                batch,
-                content_layers,
-                compute_dtype=config.compute_dtype,
-                loss_layout=True,
+            # construction); style-only configs skip the pass entirely
+            tgt_content = (
+                vgg16.apply(
+                    vgg_params,
+                    batch,
+                    content_layers,
+                    compute_dtype=config.compute_dtype,
+                    loss_layout=True,
+                )
+                if content_layers
+                else {}
             )
 
         def loss_fn(params):

@@ -343,3 +343,21 @@ def test_restore_latest_falls_back_past_corrupt_newest(tmp_path, small_config, c
     restored = ckpt_lib.restore_latest(tmp_path, template)
     assert int(restored.step) == 3
     assert "unreadable" in capsys.readouterr().out
+
+
+def test_train_step_style_only_config(vgg_params, target_grams):
+    """Style-only training (no content layers) is a legitimate config
+    (texture synthesis; cli --loss_content_layers accepts zero): the step
+    must run, not crash in the split-pool/target computation."""
+    config = TrainConfig.make(
+        content_layers=(),
+        content_weights=(),
+        style_layers=("conv1_2", "conv2_2"),
+        style_weights=(5.0, 5.0),
+    )
+    step_fn = make_jitted_train_step(vgg_params, target_grams, config)
+    state = init_state(jax.random.PRNGKey(1), config)
+    batch = np.random.default_rng(0).uniform(0, 255, (1, SIZE, SIZE, 3)).astype(np.float32)
+    state, m = step_fn(state, jnp.asarray(batch))
+    assert float(m["content_loss"]) == 0.0
+    assert np.isfinite(float(m["loss"])) and float(m["style_loss"]) > 0

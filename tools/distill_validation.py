@@ -124,11 +124,9 @@ def main() -> None:
     enable_compilation_cache()
     dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
 
-    teacher = load_params(args.teacher)
-    teacher = {b: {k: jnp.asarray(v) for k, v in s.items()} for b, s in teacher.items()}
+    teacher = jax.tree.map(jnp.asarray, load_params(args.teacher))
     if args.init_from:
-        params = load_params(args.init_from)
-        params = {b: {k: jnp.asarray(v) for k, v in s.items()} for b, s in params.items()}
+        params = jax.tree.map(jnp.asarray, load_params(args.init_from))
     else:
         params = transform_net.init_params(jax.random.PRNGKey(0))
     step_fn, opt = make_distill_step(
@@ -144,6 +142,10 @@ def main() -> None:
     batches = pipeline.device_prefetch(iter(batcher))
 
     out = Path(args.out)
+    if out.suffix != ".npz":
+        # keep the suffix through the tmp-then-replace dance below —
+        # load_params only probes .npz candidates
+        out = Path(str(out) + ".npz")
     out.parent.mkdir(parents=True, exist_ok=True)
 
     def save(p):

@@ -96,7 +96,9 @@ def main() -> None:
             img = _crop_aug(rng, imgs[int(rng.integers(0, len(imgs)))], args.size)
         else:
             img = _procedural(rng, args.size)
-        image_io.imwrite(out / f"img_{i:05d}.jpg", img.astype(np.uint8))
+        # imwrite clips float input to [0,255]; a pre-cast .astype(np.uint8)
+        # would WRAP cubic-resize overshoot (e.g. -12 -> 244) into speckles
+        image_io.imwrite(out / f"img_{i:05d}.jpg", img)
     print(f"wrote {args.num} images to {out}")
 
 
