@@ -298,6 +298,39 @@ def _dp_subprocess(quick):
         return err
 
 
+def _start_watchdog(seconds: float):
+    """Print an honest failure JSON line and hard-exit if the run wedges.
+
+    The axon tunnel can go down for hours (observed 2026-08-17), in which
+    state even jax.devices() blocks forever — a benchmark that hangs
+    silently records nothing; one that times out records WHY."""
+    import os
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "1080p_stylize_fps_per_chip",
+                    "value": 0,
+                    "unit": "frames/sec",
+                    "vs_baseline": 0,
+                    "details": {
+                        "error": f"watchdog: no result within {seconds:.0f}s "
+                        "(TPU tunnel unreachable or compile wedged)"
+                    },
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -305,7 +338,13 @@ def main():
     parser.add_argument("--skip_dp", action="store_true")
     parser.add_argument("--dp", action="store_true", help="DP-scaling measurement only")
     parser.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"])
+    parser.add_argument(
+        "--watchdog_secs", type=float, default=3300.0,
+        help="hard deadline for the whole run (0 disables); on expiry prints "
+        "a zero-valued metric with the reason and exits 3",
+    )
     args = parser.parse_args()
+    watchdog = _start_watchdog(args.watchdog_secs) if args.watchdog_secs > 0 else None
 
     if args.dp:
         res = bench_dp_scaling(5 if args.quick else 10)
@@ -334,6 +373,8 @@ def main():
                     }
                 )
             )
+        if watchdog is not None:
+            watchdog.cancel()
         return
 
     from faststyle_tpu.utils.profiling import enable_compilation_cache
@@ -371,6 +412,8 @@ def main():
             }
         )
     )
+    if watchdog is not None:
+        watchdog.cancel()
 
 
 if __name__ == "__main__":
