@@ -111,3 +111,25 @@ def test_max_pool_2x2_same(rng):
             np.testing.assert_array_equal(
                 out[0, oy, ox], xp[0, 2 * oy : 2 * oy + 2, 2 * ox : 2 * ox + 2].max(axis=(0, 1))
             )
+
+
+def test_image_io_pil_fallback_matches_cv2(tmp_path, monkeypatch):
+    """cv2 is optional (SURVEY §2.1-6): the PIL fallback must honor the same
+    RGB/uint8 contract for read/decode/write. Pixel equality is exact for
+    lossless I/O; resize interpolations legitimately differ, so only the
+    I/O trio is pinned."""
+    from faststyle_tpu.utils import image_io
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    image_io.imwrite(p, img)
+    with_cv2 = image_io.imread(p)
+    data = p.read_bytes()
+    monkeypatch.setattr(image_io, "_HAVE_CV2", False)
+    np.testing.assert_array_equal(image_io.imread(p), with_cv2)
+    np.testing.assert_array_equal(image_io.imdecode(data), with_cv2)
+    p2 = tmp_path / "y.png"
+    image_io.imwrite(p2, img.astype(np.float32) + 0.4)  # float clip path
+    monkeypatch.setattr(image_io, "_HAVE_CV2", True)
+    np.testing.assert_array_equal(image_io.imread(p2), img)
