@@ -276,3 +276,23 @@ def test_batch_modes_match_map(mode, starry_params):
     want = transform_net.apply_packed(starry_params, x, batch_mode="map")
     got = transform_net.apply_packed(starry_params, x, batch_mode=mode)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["resize", "deconv"])
+def test_packed_matches_naive_randomized_sizes(starry_params, method):
+    """Seeded-random size fuzz over the packed geometry (both upsample
+    variants): the parametrized fixed sizes above pin known edge classes;
+    this guards the classes nobody thought to enumerate."""
+    rng = np.random.default_rng(20260818)
+    params = (
+        starry_params
+        if method == "resize"
+        else transform_net.init_params(jax.random.PRNGKey(11), "deconv")
+    )
+    for _ in range(3):
+        h, w = int(rng.integers(8, 97)), int(rng.integers(8, 97))
+        x = jnp.asarray(rng.uniform(0, 255, (1, h, w, 3)), jnp.float32)
+        naive = np.asarray(transform_net.apply(params, x, method, layout="naive"))
+        fast = np.asarray(transform_net.apply(params, x, method, layout="packed"))
+        np.testing.assert_allclose(fast, naive, atol=5e-2, err_msg=f"{method} {h}x{w}")
