@@ -1,49 +1,16 @@
 #!/usr/bin/env python3
-"""Convert a flat directory of JPEG/PNG images into sharded TFRecords.
+"""Dev-tree launcher: `python cli/tfrecords_writer.py ...` without installing.
 
-Flag-compatible with the reference converter
-(`/root/reference/tfrecords_writer.py:65-75`): same flag names, defaults,
-shard naming, Example schema, deterministic shuffle (seed 12345), and the
-`train_shards % num_threads == 0` requirement — with no TensorFlow
-dependency (native C++ record codec + cv2 decode).
+The implementation lives in faststyle_tpu.cli.tfrecords_writer (packaged module); this
+shim only puts the repo root on sys.path and re-exports its surface.
 """
 
-import argparse
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-
-def setup_parser():
-    parser = argparse.ArgumentParser(description="Convert images to sharded TFRecords.")
-    parser.add_argument(
-        "--train_directory", default="/tmp/", help="Training data directory"
-    )
-    parser.add_argument(
-        "--output_directory", default="/tmp/", help="Output data directory"
-    )
-    parser.add_argument(
-        "--train_shards", default=2, type=int, help="Number of shards in training TFRecord files."
-    )
-    parser.add_argument(
-        "--num_threads", default=2, type=int, help="Number of threads to preprocess the images."
-    )
-    return parser
-
-
-def main():
-    args = setup_parser().parse_args()
-    from faststyle_tpu.data import writer
-
-    writer.write_dataset(
-        args.train_directory,
-        args.output_directory,
-        name="train",
-        num_shards=args.train_shards,
-        num_threads=args.num_threads,
-    )
-
+from faststyle_tpu.cli.tfrecords_writer import main, setup_parser  # noqa: E402,F401
 
 if __name__ == "__main__":
     main()

@@ -14,6 +14,7 @@ Public surface:
     faststyle_tpu.data                   — TFRecord codec, dataset writer, input pipeline
     faststyle_tpu.compat                 — TF1 checkpoint read AND write / VGG .npz weight converters
     faststyle_tpu.utils                  — image I/O, metrics, profiling
+    faststyle_tpu.cli                    — console entry points (reference-compatible flags)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

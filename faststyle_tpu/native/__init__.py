@@ -8,6 +8,9 @@ performance, not functionality.
 from __future__ import annotations
 
 import ctypes
+import hashlib
+import os
+import shutil
 import subprocess
 import threading
 from pathlib import Path
@@ -15,9 +18,31 @@ from typing import Optional
 
 _DIR = Path(__file__).parent
 _LIB_PATH = _DIR / "libfaststyle_native.so"
+_SOURCES = ("Makefile", "tfrecord_io.cc", "depth_to_space.cc")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _cache_build() -> Path:
+    """Build in a writable per-source-hash cache dir (pip installs land in a
+    read-only site-packages; the sources + Makefile ARE shipped as package
+    data, so copy them out and build there). The hash key makes a source
+    change after an upgrade rebuild instead of dlopening a stale .so."""
+    digest = hashlib.sha256()
+    for name in _SOURCES:
+        digest.update((_DIR / name).read_bytes())
+    cache_root = Path(os.environ.get("XDG_CACHE_HOME", "~/.cache")).expanduser()
+    build_dir = cache_root / "faststyle_tpu" / f"native-{digest.hexdigest()[:16]}"
+    so = build_dir / "libfaststyle_native.so"
+    if not so.exists():
+        build_dir.mkdir(parents=True, exist_ok=True)
+        for name in _SOURCES:
+            shutil.copy2(_DIR / name, build_dir / name)
+        subprocess.run(
+            ["make", "-s"], cwd=build_dir, check=True, capture_output=True, timeout=120
+        )
+    return so
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -28,6 +53,7 @@ def load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
+            lib_path = _LIB_PATH
             try:
                 # no-op when up to date; rebuilds a stale .so after source
                 # changes (the shipped binary may predate new entry points)
@@ -36,8 +62,9 @@ def load() -> Optional[ctypes.CDLL]:
                 )
             except Exception:
                 if not _LIB_PATH.exists():
-                    raise
-            lib = ctypes.CDLL(str(_LIB_PATH))
+                    # package dir unwritable (installed tree): cache build
+                    lib_path = _cache_build()
+            lib = ctypes.CDLL(str(lib_path))
             lib.fs_masked_crc32c.restype = ctypes.c_uint32
             lib.fs_masked_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
             lib.fs_scan_records.restype = ctypes.c_long

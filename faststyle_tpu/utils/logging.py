@@ -63,12 +63,20 @@ class MetricsLogger:
         self._last_time: Optional[float] = None
         self._tb = None
         if tensorboard:
-            try:  # torch ships a TensorBoard event writer; optional dependency
-                from torch.utils.tensorboard import SummaryWriter
+            # Optional dependency, two providers: tensorboardX (what the
+            # `faststyle-tpu[tensorboard]` extra installs) first, then torch's
+            # bundled event writer as a fallback for environments that already
+            # carry torch. Round-4 fix: the extra used to install tensorboardX
+            # while this import only probed torch, making the extra a no-op.
+            for provider in ("tensorboardX", "torch.utils.tensorboard"):
+                try:
+                    import importlib
 
-                self._tb = SummaryWriter(log_dir=str(self._dir))
-            except Exception:
-                self._tb = None
+                    SummaryWriter = importlib.import_module(provider).SummaryWriter
+                    self._tb = SummaryWriter(log_dir=str(self._dir))
+                    break
+                except Exception:
+                    self._tb = None
 
     @property
     def directory(self) -> Path:

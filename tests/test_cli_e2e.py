@@ -166,6 +166,36 @@ def test_stylize_image_spatial(tmp_path, monkeypatch):
     assert np.abs(a - b).max() <= 1  # truncation-boundary flips only
 
 
+def test_stylize_image_spatial_deconv(tmp_path, monkeypatch):
+    """--spatial accepts 'deconv' models (round-4 fix: a stale guard at
+    cli/stylize_image.py used to refuse them even though parallel.spatial
+    supports the deconv phase decomposition)."""
+    import jax
+
+    from faststyle_tpu.inference import save_params
+    from faststyle_tpu.models import transform_net
+    from faststyle_tpu.utils import image_io
+
+    model = tmp_path / "deconv.npz"
+    save_params(model, transform_net.init_params(jax.random.PRNGKey(3), "deconv"))
+    rng = np.random.default_rng(1)
+    src = tmp_path / "in.png"
+    image_io.imwrite(src, rng.integers(0, 256, (128, 96, 3), dtype=np.uint8))
+    out_a = tmp_path / "spatial.png"
+    out_b = tmp_path / "plain.png"
+    for out, extra in ((out_a, ["--spatial"]), (out_b, [])):
+        _run(
+            "stylize_image",
+            ["--input_img_path", str(src), "--output_img_path", str(out),
+             "--model_path", str(model), "--upsample_method", "deconv"] + extra,
+            monkeypatch,
+        )
+    a = image_io.imread(out_a).astype(int)
+    b = image_io.imread(out_b).astype(int)
+    assert a.shape == (128, 96, 3)
+    assert np.abs(a - b).max() <= 1  # truncation-boundary flips only
+
+
 def test_stylize_webcam_packed_fetch(monkeypatch, capsys):
     _run(
         "stylize_webcam",
