@@ -80,27 +80,111 @@ class ShardedStylizer:
     The multi-chip path of BASELINE.json config #5 (batched 1080p
     stylization). Params are replicated; each chip stylizes its shard of the
     batch independently (no collectives — instance norm is per-sample).
+
+    The per-shard program runs under `shard_map`, NOT GSPMD auto-partition:
+    the batched forward is a per-sample `lax.map` (the measured-faster
+    program, docs/PERF.md), and a scan over a *sharded* batch axis would
+    serialize across chips under the auto-partitioner — shard_map keeps each
+    chip scanning only its local shard.
+
+    Round-4: the single-chip serving fast paths (inference.Stylizer) are
+    available here too — `output_uint8` (on-device clip+cast, 4x smaller
+    fetches), `packed_output` (device skips the output relayout; host
+    depth-to-space via the native slab pool) and `packed_input` (host
+    reflect-pad+pack; device runs pure packed compute). Default output stays
+    float32 NHWC for backward compatibility; any fast-path flag switches the
+    return to uint8.
     """
 
-    def __init__(self, params, mesh: Mesh, upsample_method: str = "resize", compute_dtype=None):
+    def __init__(
+        self,
+        params,
+        mesh: Mesh,
+        upsample_method: str = "resize",
+        compute_dtype=None,
+        *,
+        output_uint8: bool = False,
+        packed_output: bool = False,
+        packed_input: bool = False,
+    ):
         self._mesh = mesh
         self._sharding = batch_sharding(mesh)
         self._params = jax.device_put(
             jax.tree.map(jnp.asarray, params), NamedSharding(mesh, P())
         )
-        self._fn = jax.jit(
-            functools.partial(
-                transform_net.apply,
+        self._output_uint8 = output_uint8 or packed_output or packed_input
+        self._packed_output = packed_output
+        self._packed_input = packed_input
+        out_u8 = self._output_uint8
+
+        def fwd(p, x, hw=None):
+            if packed_input or packed_output:
+                return transform_net.apply_packed(
+                    p,
+                    x,
+                    compute_dtype=compute_dtype,
+                    output_dtype=jnp.uint8,
+                    output_layout="packed_u8" if packed_output else "nhwc",
+                    input_layout="packed_u8" if packed_input else "nhwc",
+                    input_hw=hw,
+                    upsample_method=upsample_method,
+                )
+            return transform_net.apply(
+                p,
+                x,
                 upsample_method=upsample_method,
                 compute_dtype=compute_dtype,
-            ),
-            out_shardings=self._sharding,
-        )
+                output_dtype=jnp.uint8 if out_u8 else None,
+            )
+
+        def make(hw=None):
+            return jax.jit(
+                shard_map(
+                    functools.partial(fwd, hw=hw),
+                    mesh=mesh,
+                    in_specs=(P(), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+            )
+
+        self._make = make
+        self._fns: dict = {}  # keyed by static (h, w) — None for nhwc input
+
+    def _fn_for(self, hw=None):
+        if hw not in self._fns:
+            self._fns[hw] = self._make(hw)
+        return self._fns[hw]
 
     def stylize_batch(self, imgs: np.ndarray) -> np.ndarray:
-        """NHWC [0,255] float/uint8, any batch size -> stylized float32 NHWC."""
-        imgs = np.asarray(imgs, np.float32)
-        padded, n = pad_batch_to_devices(imgs, self._mesh.devices.size)
-        x = jax.device_put(padded, self._sharding)
-        out = self._fn(self._params, x)
-        return np.asarray(out)[:n]
+        """NHWC [0,255] float/uint8, any batch size -> stylized NHWC
+        (float32 by default; uint8 with output_uint8/packed_* )."""
+        imgs = np.asarray(imgs)
+        n_dev = self._mesh.devices.size
+        h, w = imgs.shape[1], imgs.shape[2]
+        if self._packed_input:
+            if imgs.dtype != np.uint8:
+                # the packed host pack stage is uint8-only (camera/decoder
+                # contract); float frames are quantized — same caveat as
+                # inference.Stylizer.stylize_batch
+                imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+            from faststyle_tpu.inference import pack_u8_host
+
+            padded, n = pad_batch_to_devices(pack_u8_host(imgs), n_dev)
+            out = self._fn_for((h, w))(
+                self._params, jax.device_put(padded, self._sharding)
+            )
+        else:
+            if not (self._output_uint8 and imgs.dtype == np.uint8):
+                imgs = np.asarray(imgs, np.float32)
+            padded, n = pad_batch_to_devices(imgs, n_dev)
+            out = self._fn_for(None)(
+                self._params, jax.device_put(padded, self._sharding)
+            )
+        out = np.asarray(out)[:n]
+        if self._packed_output:
+            from faststyle_tpu.inference import unpack_u8_host
+
+            oh, ow = transform_net.output_shape(h, w)
+            out = unpack_u8_host(out, oh, ow)
+        return out

@@ -56,6 +56,24 @@ def run(n_devices: int) -> None:
     assert out.shape == (n_devices + 1, size, size, 3), out.shape
     assert np.isfinite(out).all()
 
+    # round-4: the serving fast path + the deconv upsample variant, in one
+    # compile — packed-u8 I/O (host pack/unpack, device pure packed compute)
+    # through a 'deconv' model under shard_map. Frames must exceed the 40 px
+    # reflect pad, hence the larger-than-`size` extent.
+    deconv_params = transform_net.init_params(jax.random.PRNGKey(3), "deconv")
+    packed = data_parallel.ShardedStylizer(
+        deconv_params,
+        mesh,
+        upsample_method="deconv",
+        packed_input=True,
+        packed_output=True,
+    )
+    frames = np.random.default_rng(3).integers(
+        0, 256, (n_devices, 44, 48, 3), dtype=np.uint8
+    )
+    p_out = packed.stylize_batch(frames)
+    assert p_out.shape == frames.shape and p_out.dtype == np.uint8, p_out.shape
+
     # spatially-partitioned single-image inference: rows sharded over the
     # mesh, instance-norm moments psum'd over ICI (parallel/spatial.py)
     from faststyle_tpu.parallel.spatial import SpatialStylizer
@@ -69,6 +87,6 @@ def run(n_devices: int) -> None:
     assert spatial.shards_for(big_h) == n_devices
     print(
         f"[dryrun] {n_devices}-device mesh OK: train loss {loss:.4f}, "
-        f"sharded inference {out.shape}, spatial {s_out.shape} "
-        f"({n_devices}-way rows)"
+        f"sharded inference {out.shape}, packed-u8 deconv serving "
+        f"{p_out.shape}, spatial {s_out.shape} ({n_devices}-way rows)"
     )

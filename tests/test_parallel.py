@@ -105,6 +105,41 @@ def test_sharded_stylizer_pads_non_divisible_batches(starry_params):
     assert out.shape == (5, SIZE, SIZE, 3)
 
 
+def test_sharded_stylizer_uint8_matches_single(starry_params):
+    """Round-4: the multi-chip path carries the uint8 serving fast path too
+    (on-device clip+cast, uint8 in/out) — equality vs the single-chip
+    Stylizer on a non-divisible batch."""
+    from faststyle_tpu.inference import Stylizer
+
+    mesh = mesh_lib.data_mesh()
+    rng = np.random.default_rng(5)
+    batch = rng.integers(0, 256, (5, 96, 88, 3), dtype=np.uint8)
+    sharded = data_parallel.ShardedStylizer(starry_params, mesh, output_uint8=True)
+    out = sharded.stylize_batch(batch)
+    assert out.dtype == np.uint8 and out.shape == batch.shape
+    ref = np.asarray(Stylizer(params=starry_params, output_uint8=True).stylize_batch(batch))
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1  # clip-boundary flips
+
+
+@pytest.mark.slow
+def test_sharded_stylizer_packed_io_matches_single(starry_params):
+    """Round-4: packed-u8 I/O (host pack / native host unpack) under
+    shard_map matches the single-chip packed path bit-for-bit."""
+    from faststyle_tpu.inference import Stylizer
+
+    mesh = mesh_lib.data_mesh()
+    rng = np.random.default_rng(6)
+    batch = rng.integers(0, 256, (3, 96, 88, 3), dtype=np.uint8)
+    sharded = data_parallel.ShardedStylizer(
+        starry_params, mesh, packed_input=True, packed_output=True
+    )
+    out = sharded.stylize_batch(batch)
+    assert out.dtype == np.uint8 and out.shape == batch.shape
+    single = Stylizer(params=starry_params, packed_input=True, packed_output=True)
+    ref = np.stack([single(img) for img in batch])
+    np.testing.assert_array_equal(out, ref)
+
+
 @pytest.mark.slow  # 74 s; the driver runs this exact entry every round anyway
 def test_graft_dryrun():
     from faststyle_tpu.parallel import dryrun
