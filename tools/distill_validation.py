@@ -40,6 +40,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import optax  # noqa: E402
 
+from faststyle_tpu import losses  # noqa: E402
 from faststyle_tpu.data import pipeline  # noqa: E402
 from faststyle_tpu.inference import load_params, save_params  # noqa: E402
 from faststyle_tpu.models import transform_net  # noqa: E402
@@ -53,6 +54,8 @@ def make_distill_step(
     compute_dtype,
     decay_steps: int = 0,
     feature_w: float = 1.0,
+    gram_w: float = 0.0,
+    ema_decay: float = 0.0,
 ):
     """Distillation step: pixel L2 to the teacher's output, plus (round 3)
     layer-wise feature matching against the teacher's intermediate
@@ -61,11 +64,26 @@ def make_distill_step(
     regressed onto its teacher counterpart, which converges far past what
     output-only pixel L2 reaches (SSIM 0.70 -> see docs/TRAINED_MODEL.md).
 
+    Round 4 adds two terms aimed at closing the residual texture gap
+    (SSIM 0.89-0.91 after round 3):
+
+    - gram_w: second-order texture-statistics matching. The style content
+      of these nets IS Gram statistics (the teachers were trained with
+      losses.style_loss, the reference's /root/reference/losses.py:43-67),
+      so the student's per-tap Gram matrices (losses.gram_matrix over the
+      apply_with_features taps, c <= 64 so each Gram is a tiny [b,c,c]
+      MXU matmul) are regressed onto the teacher's, each layer normalized
+      by the teacher Gram's second moment.
+    - ema_decay: a Polyak average of the student rides along and is what
+      gets saved/evaluated — averages out the Adam noise floor that caps
+      late-schedule convergence.
+
     Each layer's L2 is normalized by the teacher activation's second moment
     so all taps contribute at comparable scale regardless of depth/width;
     the pixel term is likewise normalized by mean(target^2). Reported
     `pixel_l2` stays the raw un-normalized mean square for curve continuity
-    with the round-2 runs. feature_w=0 recovers the round-2 pure-pixel loss.
+    with the round-2 runs. feature_w=0, gram_w=0 recovers the round-2
+    pure-pixel loss.
     """
     if decay_steps:
         learn_rate = optax.cosine_decay_schedule(learn_rate, decay_steps, alpha=0.02)
@@ -75,7 +93,7 @@ def make_distill_step(
     # compiled executable is teacher-independent: the candy run hits the
     # persistent compile cache warmed by the starry run (the naive-path
     # backward costs ~8 min of XLA compile on the tunneled runtime).
-    def step(params, opt_state, teacher, batch):
+    def step(params, ema, opt_state, teacher, batch):
         target, t_feats = transform_net.apply_with_features(
             teacher, batch, compute_dtype=compute_dtype
         )
@@ -95,13 +113,33 @@ def make_distill_step(
                     for k in sorted(t_feats)
                 ]
                 loss = loss + feature_w * sum(per_layer) / len(per_layer)
+            if gram_w:
+                # Grams in float32 (losses.gram_matrix accumulates f32) on
+                # relu'd taps: texture statistics live in the post-activation
+                # feature field, matching how the teachers' own style loss
+                # saw VGG activations.
+                per_gram = []
+                for k in sorted(t_feats):
+                    gs = losses.gram_matrix(jax.nn.relu(s_feats[k]))
+                    gt = losses.gram_matrix(jax.nn.relu(t_feats[k]))
+                    per_gram.append(
+                        jnp.mean(jnp.square(gs - gt))
+                        / (jnp.mean(jnp.square(gt)) + 1e-8)
+                    )
+                loss = loss + gram_w * sum(per_gram) / len(per_gram)
             return loss, pix_raw
 
         (loss, pix_raw), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, (loss, pix_raw)
+        params = optax.apply_updates(params, updates)
+        if ema_decay:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1.0 - ema_decay),
+                ema, params,
+            )
+        return params, ema, opt_state, (loss, pix_raw)
 
-    return jax.jit(step, donate_argnums=(0, 1)), opt
+    return jax.jit(step, donate_argnums=(0, 1, 2)), opt
 
 
 def main() -> None:
@@ -117,6 +155,14 @@ def main() -> None:
         "--feature_w", type=float, default=1.0,
         help="weight on layer-wise teacher feature matching (0 = round-2 pure pixel L2)",
     )
+    ap.add_argument(
+        "--gram_w", type=float, default=0.0,
+        help="weight on per-tap Gram (texture-statistics) matching vs the teacher",
+    )
+    ap.add_argument(
+        "--ema_decay", type=float, default=0.0,
+        help="Polyak-average the student and save/evaluate the average (0 = off)",
+    )
     ap.add_argument("--init_from", default="", help="warm-start from a saved student (continue training)")
     ap.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"])
     args = ap.parse_args()
@@ -129,9 +175,10 @@ def main() -> None:
         params = jax.tree.map(jnp.asarray, load_params(args.init_from))
     else:
         params = transform_net.init_params(jax.random.PRNGKey(0))
+    ema = jax.tree.map(jnp.copy, params)
     step_fn, opt = make_distill_step(
         args.learn_rate, dtype, decay_steps=args.steps,
-        feature_w=args.feature_w,
+        feature_w=args.feature_w, gram_w=args.gram_w, ema_decay=args.ema_decay,
     )
     opt_state = opt.init(params)
 
@@ -153,10 +200,16 @@ def main() -> None:
         save_params(tmp, p)  # atomic: write-then-replace
         tmp.replace(out)
 
+    # with EMA on, the Polyak average is the artifact we save and evaluate;
+    # without it, `final` is just the live student
+    final = lambda: ema if args.ema_decay else params  # noqa: E731
+
     rows = []
     t0 = time.perf_counter()
     for i in range(1, args.steps + 1):
-        params, opt_state, (loss, pix) = step_fn(params, opt_state, teacher, next(batches))
+        params, ema, opt_state, (loss, pix) = step_fn(
+            params, ema, opt_state, teacher, next(batches)
+        )
         if i % 100 == 0 or i == 1:
             loss_v, pix_v = float(loss), float(pix)
             rows.append((i, loss_v, pix_v, time.perf_counter() - t0))
@@ -166,9 +219,10 @@ def main() -> None:
                 flush=True,
             )
         if i % 2000 == 0:
-            save(params)  # periodic: a tunnel stall mid-run keeps the latest
+            save(final())  # periodic: a tunnel stall mid-run keeps the latest
 
-    save(params)
+    save(final())
+    params = final()
     print(f"saved student model to {out}")
     if args.log_csv:
         with open(args.log_csv, "w") as f:
