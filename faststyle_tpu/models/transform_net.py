@@ -242,7 +242,20 @@ def pack_all_kernels(
             L.deconv_phase_kernel(w_up) if deconv else L.upsample_phase_kernel(w_up)
         ).astype(dtype)
         ku = PK.pack_kernel(phase, g_up, g_up)
-        pk[f"upsample_{i}"] = PK.permute_upsample_out(ku, p_out=2, phase=2, c_real=c_out)
+        if i == 0:
+            # upsample_0 keeps the conv's NATURAL grouped output order
+            # (dy, dx, (py, px, c)): the p4->p2 mid-repack then becomes one
+            # block depth-to-space with the 4*c_out=128 lane dim contiguous
+            # (round-4; replaced the unpack->slice->repack through full NHWC
+            # whose narrow 32/12-wide minor dims were the measured boundary
+            # bottleneck — docs/PERF.md, _apply_packed_one)
+            pk["upsample_0"] = ku
+        else:
+            # upsample_1 interleaves to the standard p4 packing its consumer
+            # (the 9x9 _G_FINAL conv) expects
+            pk[f"upsample_{i}"] = PK.permute_upsample_out(
+                ku, p_out=2, phase=2, c_real=c_out
+            )
     w_fin = params["upsample_2"]["W"]
     if deconv:  # s1 SAME transposed conv == SAME conv with the adjoint kernel
         w_fin = jnp.flip(w_fin, axis=(0, 1)).transpose(0, 1, 3, 2)
@@ -281,9 +294,9 @@ def apply_packed(
       initconv_1 (q=2)       [Hp/4, Wp/4, 128]   half-res p=2, c=32
       initconv_2 (q=3, t=2)  [Hp/8, Wp/8, 256]   quarter-res p=2, c=64
       5 x resblock (q=2)     shrink 1 packed px/conv (== 2 full px, exact)
-      upsample_0 (q=2)       half'-res p=4, c=32 (phase-permuted kernel)
-      repack p4 -> p2        half'-res p=2
-      upsample_1 (q=2)       full'-res p=4, c=16
+      upsample_0 (q=2)       half'-res, grouped order (dy,dx,(py,px,c)), c=32
+      block d2s p4 -> p2     half'-res p=2 (one 128-lane-contiguous transpose)
+      upsample_1 (q=2)       full'-res p=4, c=16 (phase-permuted kernel)
       upsample_2 (q=3)       full'-res p=4, c=3 -> unpack == [N,H,W,3]
     """
     orig_dtype = x.dtype
@@ -478,15 +491,34 @@ def _apply_packed_one(
 
     for i, c_out in ((0, 32), (1, 16)):
         blk = params[f"upsample_{i}"]
-        lh, lw = 2 * lh, 2 * lw  # net 2x upsample; output p=4 on the finer grid
+        lh, lw = 2 * lh, 2 * lw  # net 2x upsample on the finer grid
         z = PK.conv2d_packed(z, pk[f"upsample_{i}"], up_geom, up_geom, (cd(lh, 4), cd(lw, 4)))
-        z = PK.zero_tail(z, 4, c_out, lh, lw)
-        z = norm(z, blk, 4, c_out, lh, lw)
         if i == 0:
-            # repack p4 -> p2 via unpack + slice to logical + repack (the
-            # slice drops the p4 tail; lh, lw are even so p2 has no tail)
-            z = PK.unpack_nhwc(z, 4, c_out)[:, :lh, :lw, :]
-            z = PK.pad_pack(z, 2)
+            # upsample_0's kernel emits the GROUPED order (dy, dx, (py,px,c))
+            # — each output block holds a 2x2 patch of coarse pixels, each a
+            # (py,px,c) 4*c_out bundle — so the p4->p2 repack is ONE block
+            # depth-to-space (unpack_nhwc with 4*c_out-wide "pixels": the
+            # 128-lane minor dim stays contiguous; no narrow shuffles). The
+            # result IS the standard p2 packing of the half-res grid.
+            if in_norm is None and cd(lh, 4) * 4 == lh and cd(lw, 4) * 4 == lw:
+                # aligned fast path: IN first, at p=4 in grouped order — the
+                # p^2-group fold is order-invariant, XLA keeps the stats
+                # fused in the conv epilogue, and the d2s then moves
+                # post-norm bf16 (norm-after-d2s measured +0.35 ms/frame at
+                # 1080p: XLA hoists the stats' f32 upcast above the repack
+                # copies). No tails anywhere: cd(lh,4)*2 == cd(lh,2).
+                z = norm(z, blk, 4, c_out, lh, lw)
+                z = PK.unpack_nhwc(z, 2, 4 * c_out)
+            else:
+                # ragged or distributed-IN (parallel.spatial) route: repack
+                # to standard p2 first — masked counts and the interval
+                # row masks assume standard (dy, dx) offset order
+                z = PK.unpack_nhwc(z, 2, 4 * c_out)[:, : cd(lh, 2), : cd(lw, 2), :]
+                z = PK.zero_tail(z, 2, c_out, lh, lw)
+                z = norm(z, blk, 2, c_out, lh, lw)
+        else:
+            z = PK.zero_tail(z, 4, c_out, lh, lw)
+            z = norm(z, blk, 4, c_out, lh, lw)
 
     blk = params["upsample_2"]  # 9x9 s1 SAME at full resolution
     z = conv(z, pk["upsample_2"], _G_FINAL, _G_FINAL, 4, 3, lh, lw)
