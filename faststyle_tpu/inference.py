@@ -194,6 +194,43 @@ def pack_u8_host(imgs: np.ndarray, pad: int = 40, p: int = 4) -> np.ndarray:
     )
 
 
+def make_forward(
+    upsample_method: str,
+    compute_dtype,
+    *,
+    output_uint8: bool,
+    packed_input: bool,
+    packed_output: bool,
+):
+    """The ONE serving forward contract, shared by the single-chip Stylizer
+    and parallel.data_parallel.ShardedStylizer (review r4: the dispatch lived
+    in two drifting copies). Returns fwd(params, x, hw=None): packed flags
+    route through transform_net.apply_packed with uint8/packed-u8 layouts;
+    otherwise plain apply with optional on-device uint8 output."""
+
+    def fwd(p, x, hw=None):
+        if packed_input or packed_output:
+            return transform_net.apply_packed(
+                p,
+                x,
+                compute_dtype=compute_dtype,
+                output_dtype=jnp.uint8,
+                output_layout="packed_u8" if packed_output else "nhwc",
+                input_layout="packed_u8" if packed_input else "nhwc",
+                input_hw=hw,
+                upsample_method=upsample_method,
+            )
+        return transform_net.apply(
+            p,
+            x,
+            upsample_method=upsample_method,
+            compute_dtype=compute_dtype,
+            output_dtype=jnp.uint8 if output_uint8 else None,
+        )
+
+    return fwd
+
+
 def save_params(model_path: str | Path, params: Dict) -> None:
     """Save params as the native flat `.npz` container."""
     flat = {f"{blk}/{var}": np.asarray(arr) for blk, sub in params.items() for var, arr in sub.items()}
@@ -256,25 +293,13 @@ class Stylizer:
             raise ValueError(f"unknown upsample_method {upsample_method!r}")
         output_uint8 = self._output_uint8
 
-        def fwd(p, x, hw=None):
-            if packed_input or packed_output:
-                return transform_net.apply_packed(
-                    p,
-                    x,
-                    compute_dtype=compute_dtype,
-                    output_dtype=jnp.uint8,
-                    output_layout="packed_u8" if packed_output else "nhwc",
-                    input_layout="packed_u8" if packed_input else "nhwc",
-                    input_hw=hw,
-                    upsample_method=upsample_method,
-                )
-            return transform_net.apply(
-                p,
-                x,
-                upsample_method=upsample_method,
-                compute_dtype=compute_dtype,
-                output_dtype=jnp.uint8 if output_uint8 else None,
-            )
+        fwd = make_forward(
+            upsample_method,
+            compute_dtype,
+            output_uint8=output_uint8,
+            packed_input=packed_input,
+            packed_output=packed_output,
+        )
 
         if packed_input:
             # (h, w) is a static arg the packed shape can't disambiguate:

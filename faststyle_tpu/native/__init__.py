@@ -32,16 +32,28 @@ def _cache_build() -> Path:
     digest = hashlib.sha256()
     for name in _SOURCES:
         digest.update((_DIR / name).read_bytes())
-    cache_root = Path(os.environ.get("XDG_CACHE_HOME", "~/.cache")).expanduser()
-    build_dir = cache_root / "faststyle_tpu" / f"native-{digest.hexdigest()[:16]}"
-    so = build_dir / "libfaststyle_native.so"
+    # XDG spec: an EMPTY XDG_CACHE_HOME must be treated as unset
+    cache_root = Path(os.environ.get("XDG_CACHE_HOME") or "~/.cache").expanduser()
+    final_dir = cache_root / "faststyle_tpu" / f"native-{digest.hexdigest()[:16]}"
+    so = final_dir / "libfaststyle_native.so"
     if not so.exists():
-        build_dir.mkdir(parents=True, exist_ok=True)
-        for name in _SOURCES:
-            shutil.copy2(_DIR / name, build_dir / name)
-        subprocess.run(
-            ["make", "-s"], cwd=build_dir, check=True, capture_output=True, timeout=120
-        )
+        # compile in a private per-process dir, then atomically publish the
+        # finished .so — concurrent first-use processes (multi-process serving
+        # launch) must not trample each other's source copies mid-compile
+        work_dir = final_dir.parent / f"{final_dir.name}.build-{os.getpid()}"
+        work_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            for name in _SOURCES:
+                shutil.copy2(_DIR / name, work_dir / name)
+            subprocess.run(
+                ["make", "-s"], cwd=work_dir, check=True, capture_output=True,
+                timeout=120,
+            )
+            final_dir.mkdir(parents=True, exist_ok=True)
+            os.replace(work_dir / "libfaststyle_native.so", so)  # atomic; last
+            # writer wins with identical bytes (same source hash)
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
     return so
 
 

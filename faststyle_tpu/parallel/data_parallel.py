@@ -115,27 +115,16 @@ class ShardedStylizer:
         self._output_uint8 = output_uint8 or packed_output or packed_input
         self._packed_output = packed_output
         self._packed_input = packed_input
-        out_u8 = self._output_uint8
+        from faststyle_tpu.inference import make_forward
 
-        def fwd(p, x, hw=None):
-            if packed_input or packed_output:
-                return transform_net.apply_packed(
-                    p,
-                    x,
-                    compute_dtype=compute_dtype,
-                    output_dtype=jnp.uint8,
-                    output_layout="packed_u8" if packed_output else "nhwc",
-                    input_layout="packed_u8" if packed_input else "nhwc",
-                    input_hw=hw,
-                    upsample_method=upsample_method,
-                )
-            return transform_net.apply(
-                p,
-                x,
-                upsample_method=upsample_method,
-                compute_dtype=compute_dtype,
-                output_dtype=jnp.uint8 if out_u8 else None,
-            )
+        # the ONE serving forward contract, shared with inference.Stylizer
+        fwd = make_forward(
+            upsample_method,
+            compute_dtype,
+            output_uint8=self._output_uint8,
+            packed_input=packed_input,
+            packed_output=packed_output,
+        )
 
         def make(hw=None):
             return jax.jit(

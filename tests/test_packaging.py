@@ -10,6 +10,7 @@
 import ctypes
 import sys
 import types
+from pathlib import Path
 
 import numpy as np
 
@@ -34,6 +35,20 @@ def test_native_cache_build(tmp_path, monkeypatch):
     shipped = native.load()
     if shipped is not None:
         assert lib.fs_masked_crc32c(b"x", 1) == shipped.fs_masked_crc32c(b"x", 1)
+    # no private .build-<pid> work dirs left behind (review r4: concurrent
+    # first-use processes compile privately, then atomically publish the .so)
+    assert not list(so.parent.parent.glob("*.build-*"))
+
+
+def test_native_cache_build_empty_xdg(tmp_path, monkeypatch):
+    """XDG spec: an EMPTY XDG_CACHE_HOME must be treated as unset — the build
+    must land under ~/.cache, never the process CWD (review r4)."""
+    monkeypatch.setenv("XDG_CACHE_HOME", "")
+    monkeypatch.chdir(tmp_path)
+    so = native._cache_build()
+    assert so.exists()
+    assert str(so).startswith(str(Path("~/.cache").expanduser()))
+    assert not list(tmp_path.rglob("*.so"))  # nothing scattered into CWD
 
 
 def test_metrics_logger_uses_tensorboardx(tmp_path, monkeypatch):

@@ -60,16 +60,24 @@ def test_distill_step_decreases_loss():
 
     teacher = transform_net.init_params(jax.random.PRNGKey(42))
     student = transform_net.init_params(jax.random.PRNGKey(0))
-    step_fn, opt = DV.make_distill_step(1e-3, None, decay_steps=10)
+    step_fn, opt = DV.make_distill_step(1e-3, None, decay_steps=10, ema_decay=0.99)
     opt_state = opt.init(student)
+    ema = jax.tree.map(jnp.copy, student)
     batch = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, (2, 64, 64, 3)), jnp.float32
     )
     losses, pix = [], []
     for _ in range(6):
-        student, opt_state, (loss, pix_raw) = step_fn(student, opt_state, teacher, batch)
+        student, ema, opt_state, (loss, pix_raw) = step_fn(
+            student, ema, opt_state, teacher, batch
+        )
         losses.append(float(loss))
         pix.append(float(pix_raw))
     assert losses[-1] < losses[0]
     assert pix[-1] < pix[0]  # the feature terms must pull the output too
     assert np.isfinite(losses).all() and np.isfinite(pix).all()
+    # the Polyak average must lag the raw student (it is a distinct artifact)
+    gaps = jax.tree.leaves(
+        jax.tree.map(lambda e, p: jnp.abs(e - p).max(), ema, student)
+    )
+    assert max(float(g) for g in gaps) > 0

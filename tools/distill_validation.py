@@ -56,6 +56,7 @@ def make_distill_step(
     feature_w: float = 1.0,
     gram_w: float = 0.0,
     ema_decay: float = 0.0,
+    upsample_method: str = "resize",
 ):
     """Distillation step: pixel L2 to the teacher's output, plus (round 3)
     layer-wise feature matching against the teacher's intermediate
@@ -95,14 +96,14 @@ def make_distill_step(
     # backward costs ~8 min of XLA compile on the tunneled runtime).
     def step(params, ema, opt_state, teacher, batch):
         target, t_feats = transform_net.apply_with_features(
-            teacher, batch, compute_dtype=compute_dtype
+            teacher, batch, upsample_method, compute_dtype=compute_dtype
         )
         target = jax.lax.stop_gradient(target)
         t_feats = jax.lax.stop_gradient(t_feats)
 
         def loss_fn(p):
             y, s_feats = transform_net.apply_with_features(
-                p, batch, compute_dtype=compute_dtype
+                p, batch, upsample_method, compute_dtype=compute_dtype
             )
             pix_raw = jnp.mean(jnp.square(y - target))
             loss = pix_raw / (jnp.mean(jnp.square(target)) + 1e-6)
@@ -274,6 +275,10 @@ def main() -> None:
     )
     ap.add_argument("--init_from", default="", help="warm-start from a saved student (continue training)")
     ap.add_argument("--precision", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument(
+        "--upsample", default="resize", choices=["resize", "deconv"],
+        help="teacher/student upsample variant (must match the teacher's)",
+    )
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -283,17 +288,18 @@ def main() -> None:
     if args.init_from:
         params = jax.tree.map(jnp.asarray, load_params(args.init_from))
     else:
-        params = transform_net.init_params(jax.random.PRNGKey(0))
+        params = transform_net.init_params(jax.random.PRNGKey(0), args.upsample)
     ema = jax.tree.map(jnp.copy, params)
     if args.layerwise:
         step_fn, opt = make_teacher_forcing_step(
             args.learn_rate, dtype, decay_steps=args.steps,
-            ema_decay=args.ema_decay,
+            ema_decay=args.ema_decay, upsample_method=args.upsample,
         )
     else:
         step_fn, opt = make_distill_step(
             args.learn_rate, dtype, decay_steps=args.steps,
             feature_w=args.feature_w, gram_w=args.gram_w, ema_decay=args.ema_decay,
+            upsample_method=args.upsample,
         )
     opt_state = opt.init(params)
 
