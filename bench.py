@@ -108,21 +108,63 @@ def bench_packed_io(frames=60):
     return round(device_fps, 2), round(host_ms, 2)
 
 
-def bench_packed_io_e2e(frames=60, h=1080, w=1920):
+def measure_io_link(h=1080, w=1920):
+    """Characterize the host<->device link so the e2e serving figures are
+    interpretable: round-trip latency (scalar fetch) and one-frame H2D/D2H
+    transfer times. On a real TPU VM these are PCIe (~negligible per frame);
+    under this sandbox's tunneled runtime they are network-bound and set a
+    hard ceiling on any per-frame-I/O serving loop — which is exactly what
+    the e2e numbers need to be read against."""
+    import jax
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    # RTT: tiny payload round trip, median of 5
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(jax.device_put(np.float32(1.0))))
+        rtts.append(time.perf_counter() - t0)
+    frame = rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
+    h2d = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(frame))
+        h2d.append(time.perf_counter() - t0)
+    # D2H: time the FIRST fetch of a fresh device-produced array each
+    # iteration — jax.Array caches the host copy after one np.asarray, and
+    # device_put may retain the host source, so reusing one array (or one
+    # that never left the host) measures a cache hit, not the link.
+    bump = jax.jit(lambda x: x + 1)  # stays uint8 (weak-typed scalar)
+    d2h = []
+    for _ in range(3):
+        dev = jax.block_until_ready(bump(frame))
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        d2h.append(time.perf_counter() - t0)
+    ms = lambda xs: round(sorted(xs)[len(xs) // 2] * 1000, 1)  # noqa: E731
+    return {"rtt_ms": ms(rtts), "h2d_frame_ms": ms(h2d), "d2h_frame_ms": ms(d2h)}
+
+
+def bench_packed_io_e2e(frames=60, h=1080, w=1920, depth=4):
     """END-TO-END pipelined packed-u8 serving (VERDICT r3 weak #2): a real
-    overlapped loop — dispatch frame N's device compute, then, while it runs,
-    host-unpack frame N-1's fetched output and host-pack frame N+1's input.
-    This is the loop docs/SERVING.md describes, measured instead of asserted.
+    overlapped loop, measured instead of asserted. Keeps `depth` frames in
+    flight — dispatch frame N, then host-pack N+1 and host-unpack N-depth
+    while the device runs — the standard serving design for an accelerator
+    behind a link with latency: throughput degrades to the slowest STAGE
+    (max of host pack, H2D, compute, D2H, unpack), not the sum of latencies.
 
     Reported fps includes EVERYTHING: host pack (native C++), H2D transfer,
     device compute, D2H transfer (started early via copy_to_host_async), and
-    host depth-to-space unpack. On this sandbox the number is capped by the
-    single host core and the tunneled host<->device link (~ms-scale per-frame
-    transfers that a real TPU VM's PCIe makes negligible) — the honest
-    environment-bound serving figure, alongside the device-side rate."""
+    host depth-to-space unpack. On this sandbox the number is bounded by the
+    tunneled host<->device link's per-frame transfer time (see
+    measure_io_link in the bench details) and the single host core — on a
+    real TPU VM (PCIe, many-core host) the same loop converges to the
+    device-side rate."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from collections import deque
 
     from faststyle_tpu.inference import load_params, pack_u8_host, unpack_u8_host
     from faststyle_tpu.models import transform_net
@@ -149,20 +191,21 @@ def bench_packed_io_e2e(frames=60, h=1080, w=1920):
     np.asarray(out).sum()  # compile + full warmup incl. D2H
 
     t0 = time.perf_counter()
-    prev = None
-    x = jax.device_put(pack_u8_host(srcs[0]))
+    inflight = deque()
     for i in range(frames):
-        cur = fn(params, x)  # dispatch frame i (async)
+        x = jax.device_put(pack_u8_host(srcs[i % 2]))  # host pack + H2D
+        cur = fn(params, x)  # dispatch (async)
         try:
             cur.copy_to_host_async()  # start D2H behind the compute
         except Exception:
             pass
-        # overlapped host work while the device runs frame i:
-        x = jax.device_put(pack_u8_host(srcs[(i + 1) % 2]))  # pack frame i+1
-        if prev is not None:
-            unpack_u8_host(np.asarray(prev), h, w)  # finish frame i-1
-        prev = cur
-    unpack_u8_host(np.asarray(prev), h, w)
+        inflight.append(cur)
+        if len(inflight) > depth:
+            # fetch + unpack the OLDEST frame — its compute and (started)
+            # D2H have had `depth` frames of time to complete
+            unpack_u8_host(np.asarray(inflight.popleft()), h, w)
+    while inflight:
+        unpack_u8_host(np.asarray(inflight.popleft()), h, w)
     return round(frames / (time.perf_counter() - t0), 2)
 
 
@@ -516,6 +559,7 @@ def main():
         dev_fps, host_ms = bench_packed_io(frames)
         details["stylize_1080p_fps_packed_io_serving"] = dev_fps
         details["packed_io_host_ms_per_frame"] = host_ms
+        details["io_link"] = measure_io_link()
         details["stylize_1080p_fps_packed_io_e2e"] = bench_packed_io_e2e(frames)
         details["stylize_4k_fps_packed_io_e2e"] = bench_packed_io_e2e(
             max(frames // 3, 5), 2160, 3840
