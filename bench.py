@@ -35,12 +35,21 @@ def _time_stylize(stylizer, h, w, frames, batch=1):
     x = stylizer.stylize_batch(jax.device_put(img))
     x = stylizer.stylize_batch(x)  # warm both input signatures
     float(reduce_fn(x))  # compile + warmup, hard sync
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        x = stylizer.stylize_batch(x)  # chain device-resident frames
-    float(reduce_fn(x))  # single sync
-    dt = time.perf_counter() - t0
-    return batch * frames / dt
+
+    def run(n):
+        nonlocal x
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = stylizer.stylize_batch(x)  # chain device-resident frames
+        float(reduce_fn(x))  # single sync
+        return time.perf_counter() - t0
+
+    # two-point slope: the sync's tunnel round-trip (~30 ms here) is a
+    # CONSTANT per measurement, so (t_big - t_small)/(n_big - n_small) is the
+    # steady-state per-frame time with the RTT cancelled exactly
+    n_small = max(frames // 3, 1)
+    t_small, t_big = run(n_small), run(frames)
+    return batch * (frames - n_small) / max(t_big - t_small, 1e-9)
 
 
 def bench_inference(frames, precision="bfloat16"):
@@ -94,12 +103,23 @@ def bench_packed_io(frames=60):
     reduce_fn = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
     out = fn(params, x)
     float(reduce_fn(out))
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        out = fn(params, x)
-    float(reduce_fn(out))
-    device_fps = frames / (time.perf_counter() - t0)
+
+    def run(n):
+        o = out
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = fn(params, x)
+        float(reduce_fn(o))
+        return time.perf_counter() - t0
+
+    # two-point slope cancels the constant sync round-trip (see _time_stylize)
+    n_small = max(frames // 3, 1)
+    t_small, t_big = run(n_small), run(frames)
+    device_fps = (frames - n_small) / max(t_big - t_small, 1e-9)
     raw = np.asarray(out)
+    for _ in range(3):  # warm the page cache / thread pool before timing
+        pack_u8_host(img)
+        unpack_u8_host(raw, 1080, 1920)
     t0 = time.perf_counter()
     for _ in range(10):
         pack_u8_host(img)
