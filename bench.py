@@ -549,8 +549,11 @@ def main():
         # bounded slice of the watchdog budget so a slow cold-cache compile
         # can't starve the benches themselves (review r4).
         budget = args.watchdog_secs if args.watchdog_secs > 0 else 3300.0
+        # measured: warm-cache gate ≈ 700 s on the tunneled chip (cold
+        # compiles push past 900), and the post-gate benches need ~400 s
+        # warm — so give the gate up to 45% of the watchdog budget
         gate_status, gate_detail = run_tpu_gate(
-            300 if args.quick else min(900, int(budget * 0.3))
+            300 if args.quick else min(1500, int(budget * 0.45))
         )
         details["tpu_tests"] = gate_detail
         if gate_status == "FAIL":
@@ -579,11 +582,21 @@ def main():
         dev_fps, host_ms = bench_packed_io(frames)
         details["stylize_1080p_fps_packed_io_serving"] = dev_fps
         details["packed_io_host_ms_per_frame"] = host_ms
-        details["io_link"] = measure_io_link()
+        link = measure_io_link()
+        details["io_link"] = link
         details["stylize_1080p_fps_packed_io_e2e"] = bench_packed_io_e2e(frames)
         details["stylize_4k_fps_packed_io_e2e"] = bench_packed_io_e2e(
             max(frames // 3, 5), 2160, 3840
         )
+        if link["rtt_ms"] > 5.0:  # network-tunneled device, not local PCIe
+            xfer = link["h2d_frame_ms"] + link["d2h_frame_ms"]
+            details["e2e_note"] = (
+                f"host<->device link is tunneled (rtt {link['rtt_ms']} ms, "
+                f"~{xfer:.0f} ms transfer per 1080p frame): the e2e loop is "
+                f"link-bound at ~{1000.0 / max(xfer, 1e-9):.1f} fps regardless "
+                "of compute; on a local-PCIe TPU VM the same loop converges to "
+                "stylize_1080p_fps_packed_io_serving"
+            )
     if not args.skip_train:
         details["train_steps_per_sec_b4_256"] = round(
             bench_train_step(20 if args.quick else 100, args.precision), 3
