@@ -17,6 +17,32 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 TARGET_FPS_1080P = 60.0  # BASELINE.json north star
 
 
+def _slope_rate(run, n_big):
+    """Iterations/sec via a two-point slope. `run(n)` must return the wall
+    time for n chained device iterations ending in ONE sync; the sync's
+    tunnel round-trip is a CONSTANT per measurement, so
+    (t_big - t_small)/(n_big - n_small) is the steady-state per-iteration
+    time with the RTT cancelled exactly.
+
+    Guarded: an RTT jitter spike during the small run can collapse the slope
+    to ~0 or negative, which a bare division would publish as an absurd rate
+    (review r4). Accept the slope only if it is positive and at least 20% of
+    the single-run per-iteration time (legitimate slopes measure 60-95% of
+    it at these frame counts); otherwise retry once, then fall back to
+    t_big/n_big — which still contains the sync round-trip, so it can only
+    understate, never inflate."""
+    n_small = max(n_big // 3, 1)
+    t_big = None
+    for _ in range(2):
+        t_small, t_big = run(n_small), run(n_big)
+        if n_big <= n_small:  # no slope exists at this frame budget
+            break
+        slope = (t_big - t_small) / (n_big - n_small)
+        if slope > 0.2 * (t_big / n_big):
+            return 1.0 / slope
+    return n_big / t_big
+
+
 def _time_stylize(stylizer, h, w, frames, batch=1):
     """Steady-state on-device throughput.
 
@@ -44,12 +70,7 @@ def _time_stylize(stylizer, h, w, frames, batch=1):
         float(reduce_fn(x))  # single sync
         return time.perf_counter() - t0
 
-    # two-point slope: the sync's tunnel round-trip (~30 ms here) is a
-    # CONSTANT per measurement, so (t_big - t_small)/(n_big - n_small) is the
-    # steady-state per-frame time with the RTT cancelled exactly
-    n_small = max(frames // 3, 1)
-    t_small, t_big = run(n_small), run(frames)
-    return batch * (frames - n_small) / max(t_big - t_small, 1e-9)
+    return batch * _slope_rate(run, frames)
 
 
 def bench_inference(frames, precision="bfloat16"):
@@ -112,10 +133,8 @@ def bench_packed_io(frames=60):
         float(reduce_fn(o))
         return time.perf_counter() - t0
 
-    # two-point slope cancels the constant sync round-trip (see _time_stylize)
-    n_small = max(frames // 3, 1)
-    t_small, t_big = run(n_small), run(frames)
-    device_fps = (frames - n_small) / max(t_big - t_small, 1e-9)
+    # two-point slope cancels the constant sync round-trip (see _slope_rate)
+    device_fps = _slope_rate(run, frames)
     raw = np.asarray(out)
     for _ in range(3):  # warm the page cache / thread pool before timing
         pack_u8_host(img)
@@ -136,6 +155,7 @@ def measure_io_link(h=1080, w=1920):
     hard ceiling on any per-frame-I/O serving loop — which is exactly what
     the e2e numbers need to be read against."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     rng = np.random.default_rng(0)
@@ -145,20 +165,38 @@ def measure_io_link(h=1080, w=1920):
         t0 = time.perf_counter()
         float(np.asarray(jax.device_put(np.float32(1.0))))
         rtts.append(time.perf_counter() - t0)
-    frame = rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
-    h2d = []
+    # All syncs below go through a scalar VALUE fetch, never
+    # block_until_ready — this runtime's block_until_ready can return early
+    # (the same artifact _time_stylize defeats), which would report h2d near
+    # zero and then corrupt the d2h window with leftover transfer time.
+    red = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    # two distinct source frames alternate so device_put can never hand back
+    # a cached buffer for an already-transferred host array
+    frames = [rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8) for _ in range(2)]
+    resident = jax.device_put(frames[0])
+    float(red(resident))  # compile + warm
+    t_red = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(frame))
-        h2d.append(time.perf_counter() - t0)
+        float(red(resident))
+        t_red.append(time.perf_counter() - t0)
+    red_s = sorted(t_red)[1]  # reduce+scalar-fetch on a resident array
+    h2d = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        dev = jax.device_put(frames[i % 2])
+        float(red(dev))  # value-fetch sync; its own cost is red_s, subtracted
+        h2d.append(max(time.perf_counter() - t0 - red_s, 0.0))
     # D2H: time the FIRST fetch of a fresh device-produced array each
-    # iteration — jax.Array caches the host copy after one np.asarray, and
-    # device_put may retain the host source, so reusing one array (or one
-    # that never left the host) measures a cache hit, not the link.
-    bump = jax.jit(lambda x: x + 1)  # stays uint8 (weak-typed scalar)
+    # iteration — jax.Array caches the host copy after one np.asarray, so
+    # reusing one array measures a cache hit, not the link. bump(resident, i)
+    # with a varying addend guarantees a fresh, already-resident result whose
+    # completion is pinned by the value fetch before the clock starts.
+    bump = jax.jit(lambda x, k: x + k)  # stays uint8 (weak-typed scalar)
     d2h = []
-    for _ in range(3):
-        dev = jax.block_until_ready(bump(frame))
+    for i in range(3):
+        dev = bump(resident, np.uint8(i + 1))
+        float(red(dev))  # ensure computed + resident before timing the fetch
         t0 = time.perf_counter()
         np.asarray(dev)
         d2h.append(time.perf_counter() - t0)
@@ -437,10 +475,12 @@ def bench_dp_scaling(steps=10):
     return results
 
 
-def _dp_subprocess(quick):
+def _dp_subprocess(quick, timeout=1800):
     """Run `bench.py --dp` in a fresh process (the CPU-mesh fallback must
     force the platform before jax initializes, impossible in-process after
-    the TPU benchmarks ran)."""
+    the TPU benchmarks ran). `timeout` is whatever slice of the watchdog
+    budget remains — the caller shrinks it so gate + benches + dp can never
+    jointly overrun the watchdog (review r4)."""
     import subprocess
 
     cmd = [sys.executable, str(Path(__file__).resolve()), "--dp"]
@@ -448,7 +488,7 @@ def _dp_subprocess(quick):
         cmd.append("--quick")
     out = None
     try:
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
         return json.loads(out.stdout.strip().splitlines()[-1])["details"]
     except Exception as e:  # never let the scaling probe sink the headline metric
         err = {"error": f"{type(e).__name__}: {e}"}
@@ -505,6 +545,7 @@ def main():
         "a zero-valued metric with the reason and exits 3",
     )
     args = parser.parse_args()
+    t_start = time.perf_counter()
     watchdog = _start_watchdog(args.watchdog_secs) if args.watchdog_secs > 0 else None
 
     if args.dp:
@@ -589,13 +630,19 @@ def main():
             max(frames // 3, 5), 2160, 3840
         )
         if link["rtt_ms"] > 5.0:  # network-tunneled device, not local PCIe
-            xfer = link["h2d_frame_ms"] + link["d2h_frame_ms"]
+            # the depth-pipelined loop's own ceiling is the slowest STAGE:
+            # with full H2D/D2H overlap that's max(h2d, d2h); if the tunnel
+            # serializes the directions it degrades to the sum — so report
+            # the range, not just the serialized floor (review r4)
+            lo = 1000.0 / max(link["h2d_frame_ms"] + link["d2h_frame_ms"], 1e-9)
+            hi = 1000.0 / max(link["h2d_frame_ms"], link["d2h_frame_ms"], 1e-9)
             details["e2e_note"] = (
                 f"host<->device link is tunneled (rtt {link['rtt_ms']} ms, "
-                f"~{xfer:.0f} ms transfer per 1080p frame): the e2e loop is "
-                f"link-bound at ~{1000.0 / max(xfer, 1e-9):.1f} fps regardless "
-                "of compute; on a local-PCIe TPU VM the same loop converges to "
-                "stylize_1080p_fps_packed_io_serving"
+                f"{link['h2d_frame_ms']:.0f}/{link['d2h_frame_ms']:.0f} ms "
+                f"per 1080p frame up/down): the e2e loop is link-bound at "
+                f"~{lo:.1f} fps (transfers serialized) to ~{hi:.1f} fps (full "
+                "duplex) regardless of compute; on a local-PCIe TPU VM the "
+                "same loop converges to stylize_1080p_fps_packed_io_serving"
             )
     if not args.skip_train:
         details["train_steps_per_sec_b4_256"] = round(
@@ -605,7 +652,13 @@ def main():
         details["slow_style_steps_per_sec_256"] = round(rate, 2)
         details["slow_style_1000step_seconds"] = round(1000 / rate, 1)
     if not args.skip_dp:
-        details["dp_scaling"] = _dp_subprocess(args.quick)
+        # hand dp only what's left of the watchdog budget (minus a margin for
+        # JSON assembly) so gate + benches + dp can never jointly overrun it
+        budget = args.watchdog_secs if args.watchdog_secs > 0 else 3300.0
+        remaining = budget - (time.perf_counter() - t_start)
+        details["dp_scaling"] = _dp_subprocess(
+            args.quick, timeout=max(60, min(1800, remaining - 120))
+        )
 
     print(
         json.dumps(

@@ -53,3 +53,38 @@ def test_gate_timeout(monkeypatch):
     monkeypatch.setattr(subprocess, "run", boom)
     status, detail = bench.run_tpu_gate(timeout=1)
     assert status == "ERROR" and "TimeoutExpired" in detail
+
+
+# --- _slope_rate: the two-point timing slope must never publish an absurd
+# rate when RTT jitter inverts or flattens the pair (review r4) ---
+
+
+def _runner(times):
+    it = iter(times)
+    return lambda n: next(it)
+
+
+def test_slope_rate_cancels_constant_sync():
+    # 30 ms sync + 7.5 ms/iter: the slope recovers the per-iter time exactly
+    rate = bench._slope_rate(lambda n: 0.030 + n * 0.0075, 60)
+    assert abs(1.0 / rate - 0.0075) < 1e-12
+
+
+def test_slope_rate_retries_after_jitter_inversion():
+    # first pair inverted by a jitter spike (t_small > t_big); the retry pair
+    # is clean and its slope is used: (0.48 - 0.105) / (60 - 20) = 9.375 ms
+    rate = bench._slope_rate(_runner([0.60, 0.48, 0.105, 0.48]), 60)
+    assert abs(1.0 / rate - (0.48 - 0.105) / 40) < 1e-12
+
+
+def test_slope_rate_falls_back_conservative():
+    # both pairs flat (pure-noise slope ~0): fall back to t_big/n_big, which
+    # still contains the sync and so can only understate — never 1e9 fps
+    rate = bench._slope_rate(_runner([0.50, 0.50, 0.50, 0.50]), 60)
+    assert abs(rate - 60 / 0.50) < 1e-9
+
+
+def test_slope_rate_single_iteration_budget():
+    # n_big == 1 forces n_small == n_big: no slope exists, use the direct rate
+    rate = bench._slope_rate(_runner([0.2, 0.2]), 1)
+    assert abs(rate - 1 / 0.2) < 1e-9

@@ -69,6 +69,23 @@ def test_packed_matches_naive_on_tpu(starry_params):
     np.testing.assert_allclose(fast, naive, atol=4.0)  # [0,255] scale
 
 
+def test_packed_matches_naive_highest_precision(starry_params):
+    """Same comparison with the MXU pinned to full-f32 accumulation
+    (jax.default_matmul_precision('highest') — no layer sets an explicit
+    precision, so the context governs every conv). This removes the bf16
+    reassociation slack that forces the default-lowering test above to
+    atol=4.0, so a TPU-backend-specific layout/tiling miscompile that only
+    perturbs by a few counts CANNOT hide in the tolerance (review r4): with
+    both layouts accumulating in f32, residual divergence is reassociation
+    at f32 epsilon, orders below 0.5 on the [0,255] scale."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 96, 88, 3)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        naive = np.asarray(transform_net.apply(starry_params, x, layout="naive"))
+        fast = np.asarray(transform_net.apply(starry_params, x, layout="packed"))
+    np.testing.assert_allclose(fast, naive, atol=0.5)  # [0,255] scale
+
+
 def test_uint8_io_matches_float_path(starry_params):
     """output_uint8 (on-device clip+cast before the relayout) equals the
     float output clipped+rounded on host. These are two separately-compiled
