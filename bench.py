@@ -299,6 +299,12 @@ def run_tpu_gate(timeout=900):
             status = "pass" if " passed" in f" {summary}" else "skipped"
         elif out.returncode == 1:
             status = "FAIL"
+        elif out.returncode == 5:
+            # rc 5 = pytest collected NOTHING: a rename/emptying of
+            # tpu_tests/ must read as a vacuous gate, not environmental
+            # trouble (review r4)
+            status = "skipped"
+            summary = f"no tests collected — {summary}"
         else:  # 2/3/4: interrupted / internal error / usage error
             status = "ERROR"
         return status, f"{status} ({summary})"

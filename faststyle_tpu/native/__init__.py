@@ -45,10 +45,20 @@ def _cache_build() -> Path:
         try:
             for name in _SOURCES:
                 shutil.copy2(_DIR / name, work_dir / name)
-            subprocess.run(
-                ["make", "-s"], cwd=work_dir, check=True, capture_output=True,
-                timeout=120,
-            )
+            try:
+                subprocess.run(
+                    ["make", "-s"], cwd=work_dir, check=True, capture_output=True,
+                    timeout=120,
+                )
+            except subprocess.CalledProcessError as e:
+                # the finally-block rmtree deletes the work dir, so the
+                # captured compiler output must ride the exception or a
+                # first-use compile failure is undebuggable (review r4)
+                stderr = (e.stderr or b"").decode("utf-8", "replace")[-2000:]
+                raise RuntimeError(
+                    f"native build failed (make rc={e.returncode}) in "
+                    f"{work_dir}:\n{stderr}"
+                ) from e
             final_dir.mkdir(parents=True, exist_ok=True)
             os.replace(work_dir / "libfaststyle_native.so", so)  # atomic; last
             # writer wins with identical bytes (same source hash)

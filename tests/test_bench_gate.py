@@ -40,6 +40,14 @@ def test_gate_failure(monkeypatch):
     assert status == "FAIL" and "1 failed" in detail
 
 
+def test_gate_empty_collection_is_vacuous_not_error(monkeypatch):
+    # rc 5 = pytest collected nothing (e.g. tpu_tests/ renamed or emptied):
+    # must surface as a vacuous gate, not environmental trouble (review r4)
+    monkeypatch.setattr(subprocess, "run", _fake_run(5, "no tests ran in 0.01s"))
+    status, detail = bench.run_tpu_gate()
+    assert status == "skipped" and "no tests collected" in detail
+
+
 def test_gate_internal_error(monkeypatch):
     monkeypatch.setattr(subprocess, "run", _fake_run(3, "INTERNALERROR> boom"))
     status, _ = bench.run_tpu_gate()

@@ -42,13 +42,18 @@ def test_native_cache_build(tmp_path, monkeypatch):
 
 def test_native_cache_build_empty_xdg(tmp_path, monkeypatch):
     """XDG spec: an EMPTY XDG_CACHE_HOME must be treated as unset — the build
-    must land under ~/.cache, never the process CWD (review r4)."""
+    must land under ~/.cache, never the process CWD (review r4). HOME is
+    pointed at tmp_path so the fallback branch is exercised WITHOUT compiling
+    into the user's real ~/.cache (review r5: the test must stay hermetic and
+    pass on read-only-HOME CI)."""
     monkeypatch.setenv("XDG_CACHE_HOME", "")
+    monkeypatch.setenv("HOME", str(tmp_path))
     monkeypatch.chdir(tmp_path)
     so = native._cache_build()
     assert so.exists()
-    assert str(so).startswith(str(Path("~/.cache").expanduser()))
-    assert not list(tmp_path.rglob("*.so"))  # nothing scattered into CWD
+    assert str(so).startswith(str(tmp_path / ".cache"))
+    # nothing scattered into CWD outside the ~/.cache subtree
+    assert all(".cache" in str(p) for p in tmp_path.rglob("*.so"))
 
 
 def test_metrics_logger_uses_tensorboardx(tmp_path, monkeypatch):
