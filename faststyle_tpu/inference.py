@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 import os
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Dict, Optional
@@ -194,6 +195,28 @@ def pack_u8_host(imgs: np.ndarray, pad: int = 40, p: int = 4) -> np.ndarray:
     )
 
 
+def quantize_for_packed_input(imgs: np.ndarray, owner) -> np.ndarray:
+    """Clip + quantize float frames to uint8 for the packed host pack stage.
+
+    The packed_input path serves the camera/decoder contract (uint8 frames);
+    a float frame fed to it loses its fractional intensities. That used to
+    happen silently (documented only in a comment — review r4 weak #6); now
+    it warns ONCE per stylizer instance so the contract is visible where it
+    bites. `owner` is any object with a `_warned_quantize` attribute
+    (Stylizer / ShardedStylizer). uint8 frames pass through untouched."""
+    if imgs.dtype == np.uint8:
+        return imgs
+    if not owner._warned_quantize:
+        owner._warned_quantize = True
+        warnings.warn(
+            "packed_input stylizer received float frames: quantizing to uint8 "
+            "(fractional intensities are lost). Use a Stylizer without "
+            "packed_input to preserve float input precision.",
+            stacklevel=3,
+        )
+    return np.clip(imgs, 0, 255).astype(np.uint8)
+
+
 def make_forward(
     upsample_method: str,
     compute_dtype,
@@ -287,6 +310,7 @@ class Stylizer:
         self._output_uint8 = output_uint8 or packed_output or packed_input
         self._packed_output = packed_output
         self._packed_input = packed_input
+        self._warned_quantize = False
         if (packed_output or packed_input) and upsample_method not in (
             transform_net.UPSAMPLE_METHODS
         ):
@@ -327,12 +351,10 @@ class Stylizer:
         With packed_input=True the host pack stage is uint8-only: float
         frames are clipped to [0,255] and QUANTIZED to uint8 before packing
         (fractional intensities are lost — the camera/decoder contract this
-        path serves is uint8 anyway). Use a non-packed Stylizer to preserve
-        float input precision."""
+        path serves is uint8 anyway; a one-time warning fires when it
+        happens). Use a non-packed Stylizer to preserve float precision."""
         if self._packed_input:
-            imgs = np.asarray(imgs)
-            if imgs.dtype != np.uint8:
-                imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+            imgs = quantize_for_packed_input(np.asarray(imgs), self)
             packed = pack_u8_host(imgs)
             return self._packed_call(packed, imgs.shape[1:3])
         dt = getattr(imgs, "dtype", None)

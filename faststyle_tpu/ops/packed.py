@@ -256,7 +256,6 @@ def instance_norm_packed(
     eps: float = 1e-3,
     *,
     valid_hw: Tuple[int, int] | None = None,
-    use_pallas: bool = False,
 ) -> jax.Array:
     """Instance norm with statistics per REAL channel computed in packed
     layout: the p^2 position groups fold into the (H,W) reduction. Same
@@ -270,15 +269,13 @@ def instance_norm_packed(
     high-magnitude maps and NaN through rsqrt). None (aligned case)
     bit-matches the naive path.
 
-    `use_pallas=True` runs the ops.pallas.instance_norm kernel instead
-    (aligned tensors only — with valid_hw set it falls back to lax);
-    measured SLOWER than XLA's fused reduce+elementwise on v5e (1.95 vs
-    1.38 ms at 290x500x256 bf16, docs/PERF.md), so lax is the default.
+    A hand-written Pallas IN kernel was carried rounds 1-4 and measured
+    SLOWER than XLA's fused reduce+elementwise on v5e at every shape tried
+    (best rewrite 0.64 vs 0.47 ms at 290x500x256 bf16); in-net, XLA fuses
+    the stats into the conv epilogues anyway. Retired in round 5 — the
+    negative result lives in docs/PERF.md ("Pallas kernels — measured
+    selection").
     """
-    if use_pallas and valid_hw is None:
-        from faststyle_tpu.ops.pallas.instance_norm import instance_norm_pallas
-
-        return instance_norm_pallas(x_packed, scale, shift, groups=p * p, eps=eps)
     if valid_hw is not None:
         valid_hw = tuple(valid_hw)  # hashable for the nondiff argnum
     return _in_packed_cv(x_packed, scale, shift, p, eps, valid_hw)

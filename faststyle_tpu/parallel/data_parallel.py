@@ -115,6 +115,7 @@ class ShardedStylizer:
         self._output_uint8 = output_uint8 or packed_output or packed_input
         self._packed_output = packed_output
         self._packed_input = packed_input
+        self._warned_quantize = False
         from faststyle_tpu.inference import make_forward
 
         # the ONE serving forward contract, shared with inference.Stylizer
@@ -152,11 +153,12 @@ class ShardedStylizer:
         n_dev = self._mesh.devices.size
         h, w = imgs.shape[1], imgs.shape[2]
         if self._packed_input:
-            if imgs.dtype != np.uint8:
-                # the packed host pack stage is uint8-only (camera/decoder
-                # contract); float frames are quantized — same caveat as
-                # inference.Stylizer.stylize_batch
-                imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+            # the packed host pack stage is uint8-only (camera/decoder
+            # contract); float frames are quantized with a one-time warning —
+            # same contract as inference.Stylizer.stylize_batch
+            from faststyle_tpu.inference import quantize_for_packed_input
+
+            imgs = quantize_for_packed_input(imgs, self)
             from faststyle_tpu.inference import pack_u8_host
 
             padded, n = pad_batch_to_devices(pack_u8_host(imgs), n_dev)

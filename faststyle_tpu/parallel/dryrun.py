@@ -59,7 +59,11 @@ def run(n_devices: int) -> None:
     # round-4: the serving fast path + the deconv upsample variant, in one
     # compile — packed-u8 I/O (host pack/unpack, device pure packed compute)
     # through a 'deconv' model under shard_map. Frames must exceed the 40 px
-    # reflect pad, hence the larger-than-`size` extent.
+    # reflect pad, hence the larger-than-`size` extent. Round-5: the frame is
+    # RAGGED (odd extents, not mult-of-4) so the masked-tail geometry —
+    # zeroed packed tails, masked-count instance norm, the grouped-order
+    # upsample repack's ragged branch, and the output-shape law — is
+    # exercised by the driver artifact every round, not just aligned sizes.
     deconv_params = transform_net.init_params(jax.random.PRNGKey(3), "deconv")
     packed = data_parallel.ShardedStylizer(
         deconv_params,
@@ -69,24 +73,31 @@ def run(n_devices: int) -> None:
         packed_output=True,
     )
     frames = np.random.default_rng(3).integers(
-        0, 256, (n_devices, 44, 48, 3), dtype=np.uint8
+        0, 256, (n_devices, 45, 51, 3), dtype=np.uint8
     )
     p_out = packed.stylize_batch(frames)
-    assert p_out.shape == frames.shape and p_out.dtype == np.uint8, p_out.shape
+    ohw = transform_net.output_shape(45, 51)  # ragged: (48, 52) per the law
+    assert p_out.shape == (n_devices, *ohw, 3) and p_out.dtype == np.uint8, p_out.shape
 
     # spatially-partitioned single-image inference: rows sharded over the
-    # mesh, instance-norm moments psum'd over ICI (parallel/spatial.py)
+    # mesh, instance-norm moments psum'd over ICI (parallel/spatial.py).
+    # Width 43 is RAGGED (round-5): the distributed interval-masked IN and
+    # the spatial route's grouped-order upsample repack run with active
+    # column masks, so the masked-tail + collective-stats combination is
+    # compiled and executed by the driver every round.
     from faststyle_tpu.parallel.spatial import SpatialStylizer
 
     big_h = 48 * n_devices  # aligned (H % (4n) == 0) with window room
-    big = np.random.default_rng(2).uniform(0, 255, (big_h, 40, 3)).astype(np.float32)
+    big = np.random.default_rng(2).uniform(0, 255, (big_h, 43, 3)).astype(np.float32)
     spatial = SpatialStylizer(state.params, mesh, halo=16)
     s_out = spatial(big)
-    assert s_out.shape == big.shape, s_out.shape
+    # ragged width follows the net's shape law: 43 -> 44 output cols
+    assert s_out.shape == (big_h, transform_net.output_shape(1, 43)[1], 3), s_out.shape
     assert np.isfinite(s_out).all()
     assert spatial.shards_for(big_h) == n_devices
     print(
         f"[dryrun] {n_devices}-device mesh OK: train loss {loss:.4f}, "
         f"sharded inference {out.shape}, packed-u8 deconv serving "
-        f"{p_out.shape}, spatial {s_out.shape} ({n_devices}-way rows)"
+        f"{p_out.shape} (ragged 45x51), spatial {s_out.shape} "
+        f"({n_devices}-way rows, ragged width)"
     )

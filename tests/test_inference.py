@@ -137,6 +137,32 @@ def test_stylizer_packed_input_matches_plain(chicago_crop256):
     np.testing.assert_array_equal(pio2(ragged), want2)
 
 
+def test_packed_input_float_frames_warn_once(starry_params):
+    """packed_input quantizes float frames to uint8 — that precision loss
+    must be VISIBLE (one warning per stylizer, review r4 weak #6), must not
+    fire for uint8 frames, and the quantized result must equal feeding the
+    same frames pre-quantized."""
+    import warnings
+
+    rng = np.random.default_rng(0)
+    fimg = rng.uniform(0, 255, (1, 48, 44, 3)).astype(np.float32)
+    s = Stylizer(params=starry_params, packed_input=True, packed_output=True)
+    with pytest.warns(UserWarning, match="quantizing to uint8"):
+        got = np.asarray(s.stylize_batch(fimg))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning now fails the test
+        again = np.asarray(s.stylize_batch(fimg))  # once per instance only
+        u8 = np.asarray(
+            s.stylize_batch(np.clip(fimg, 0, 255).astype(np.uint8))
+        )  # uint8 frames never warn
+    np.testing.assert_array_equal(got, again)
+    np.testing.assert_array_equal(got, u8)
+    # a fresh instance warns again (per-instance, not per-process)
+    s2 = Stylizer(params=starry_params, packed_input=True, packed_output=True)
+    with pytest.warns(UserWarning, match="quantizing to uint8"):
+        s2.stylize_batch(fimg)
+
+
 def test_pack_u8_host_native_matches_numpy(monkeypatch):
     from faststyle_tpu import native
     from faststyle_tpu.inference import pack_u8_host

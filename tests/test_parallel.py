@@ -138,6 +138,10 @@ def test_sharded_stylizer_packed_io_matches_single(starry_params):
     single = Stylizer(params=starry_params, packed_input=True, packed_output=True)
     ref = np.stack([single(img) for img in batch])
     np.testing.assert_array_equal(out, ref)
+    # the packed path's float->uint8 quantization must warn here too (same
+    # contract as the single-chip Stylizer, review r4 weak #6)
+    with pytest.warns(UserWarning, match="quantizing to uint8"):
+        sharded.stylize_batch(batch.astype(np.float32))
 
 
 @pytest.mark.slow  # 74 s; the driver runs this exact entry every round anyway
