@@ -191,6 +191,18 @@ _G_RES = PK.axis_geom(2, 2, 1, 3, 0)  # VALID
 _G_UP = PK.axis_geom(2, 2, 1, 2, 0)  # fused-upsample phase conv (zero hi tap)
 _G_UP_DECONV = PK.axis_geom(2, 2, 1, 2, 1)  # deconv phase conv (zero LO tap)
 _G_FINAL = PK.axis_geom(4, 4, 1, 9, 4)
+# fine-pixel (fy, fx) offset of each channel position group in upsample_0's
+# grouped output order (dy, dx, (py, px, c)): group g = ((dy*2+dx)*2+py)*2+px
+# sits at (2*dy + py, 2*dx + px) within its p=4 block. Feeds the masked-IN /
+# zero_tail bookkeeping on ragged extents (ops.packed._pos_offsets).
+_GROUPED_POS4 = tuple(
+    (2 * dy + py, 2 * dx + px)
+    for dy in (0, 1)
+    for dx in (0, 1)
+    for py in (0, 1)
+    for px in (0, 1)
+)
+
 # SAME stride-2 k3: TF pads (0,1) for even input, (1,1) for odd -> pad_lo by parity
 _G_S2 = {
     (4, 0): PK.axis_geom(4, 2, 2, 3, 0),
@@ -421,9 +433,11 @@ def _apply_packed_one(
 
     cd = PK.ceil_div
 
-    def norm(t, blk, p, c, lh, lw, sfx="", relu=True):
+    def norm(t, blk, p, c, lh, lw, sfx="", relu=True, pos_map=None):
         """IN with masked counts on ragged tensors; the affine shift makes
-        the zero tail nonzero, so re-zero it (static no-op when aligned)."""
+        the zero tail nonzero, so re-zero it (static no-op when aligned).
+        `pos_map` names a permuted channel position order (the grouped
+        upsample_0 output) for the mask/tail bookkeeping."""
         scale, shift = blk["INscale" + sfx], blk["INshift" + sfx]
         if in_norm is not None:
             t = in_norm(t, scale, shift, p, lh, lw)
@@ -435,10 +449,11 @@ def _apply_packed_one(
                 shift,
                 p,
                 valid_hw=None if aligned else (lh, lw),
+                pos_map=pos_map,
             )
         if relu:
             t = L.relu(t)
-        return PK.zero_tail(t, p, c, lh, lw)
+        return PK.zero_tail(t, p, c, lh, lw, pos_map=pos_map)
 
     def conv(z, kernel, gh, gw, p_out, c_out, lh_out, lw_out):
         """Packed conv emitting exactly ceil(l_out/p_out) blocks; tail
@@ -500,19 +515,32 @@ def _apply_packed_one(
             # depth-to-space (unpack_nhwc with 4*c_out-wide "pixels": the
             # 128-lane minor dim stays contiguous; no narrow shuffles). The
             # result IS the standard p2 packing of the half-res grid.
-            if in_norm is None and cd(lh, 4) * 4 == lh and cd(lw, 4) * 4 == lw:
-                # aligned fast path: IN first, at p=4 in grouped order — the
-                # p^2-group fold is order-invariant, XLA keeps the stats
-                # fused in the conv epilogue, and the d2s then moves
-                # post-norm bf16 (norm-after-d2s measured +0.35 ms/frame at
-                # 1080p: XLA hoists the stats' f32 upcast above the repack
-                # copies). No tails anywhere: cd(lh,4)*2 == cd(lh,2).
-                z = norm(z, blk, 4, c_out, lh, lw)
+            if in_norm is None:
+                # IN first, at p=4 in grouped order — the p^2-group fold is
+                # order-invariant, XLA keeps the stats fused in the conv
+                # epilogue, and the d2s then moves post-norm bf16
+                # (norm-after-d2s measured +0.35 ms/frame at 1080p: XLA
+                # hoists the stats' f32 upcast above the repack copies).
+                # Ragged extents (round 5) ride the same order: the masked
+                # counts and tail re-zeroing take _GROUPED_POS4, so only the
+                # block slice after the d2s differs from the aligned case.
+                # The conv's garbage tail must be zeroed BEFORE the masked
+                # stats (their sums run over all positions and rely on the
+                # zero-tail contract); static no-op when aligned.
+                z = PK.zero_tail(z, 4, c_out, lh, lw, pos_map=_GROUPED_POS4)
+                z = norm(z, blk, 4, c_out, lh, lw, pos_map=_GROUPED_POS4)
                 z = PK.unpack_nhwc(z, 2, 4 * c_out)
+                if z.shape[1] != cd(lh, 2) or z.shape[2] != cd(lw, 2):
+                    # drop all-garbage half-res blocks; kept tails are
+                    # already zeroed by the grouped-order zero_tail
+                    z = z[:, : cd(lh, 2), : cd(lw, 2), :]
             else:
-                # ragged or distributed-IN (parallel.spatial) route: repack
-                # to standard p2 first — masked counts and the interval
-                # row masks assume standard (dy, dx) offset order
+                # distributed-IN (parallel.spatial) route: repack to standard
+                # p2 first. The grouped-norm-first win has no mechanism here:
+                # the moments pass through a psum over the mesh, and XLA
+                # cannot fuse a collective into the conv epilogue — so the
+                # d2s would move pre-norm data either way, and the interval
+                # row masks keep their standard (dy, dx) order.
                 z = PK.unpack_nhwc(z, 2, 4 * c_out)[:, : cd(lh, 2), : cd(lw, 2), :]
                 z = PK.zero_tail(z, 2, c_out, lh, lw)
                 z = norm(z, blk, 2, c_out, lh, lw)

@@ -229,21 +229,40 @@ def pad_pack(x: jax.Array, p: int) -> jax.Array:
     return pack_nhwc(x, p)
 
 
-def zero_tail(x_packed: jax.Array, p: int, c: int, lh: int, lw: int) -> jax.Array:
+def _pos_offsets(p: int, pos_map) -> Tuple[np.ndarray, np.ndarray]:
+    """(fy, fx) fine offsets of each of the p*p channel position groups.
+
+    `pos_map=None` is the standard packing order (dy, dx): group g sits at
+    (g // p, g % p). A non-None pos_map is a static tuple of (fy, fx) pairs
+    for permuted orders — e.g. transform_net's grouped upsample_0 output
+    (dy, dx, (py, px, c)), where group g sits at (2*dy + py, 2*dx + px)."""
+    if pos_map is None:
+        g = np.arange(p * p)
+        return g // p, g % p
+    pm = np.asarray(pos_map, np.int64)
+    assert pm.shape == (p * p, 2), (pm.shape, p)
+    return pm[:, 0], pm[:, 1]
+
+
+def zero_tail(
+    x_packed: jax.Array, p: int, c: int, lh: int, lw: int, *, pos_map=None
+) -> jax.Array:
     """Re-zero positions beyond logical (lh, lw) in a packed tensor.
 
     Garbage only ever lives in the LAST block along each axis (convs emit
-    exactly ceil(l/p) blocks). Static no-op when the extent divides p."""
+    exactly ceil(l/p) blocks). Static no-op when the extent divides p.
+    `pos_map` names the channel position order (see _pos_offsets)."""
     n, gh, gw, cc = x_packed.shape
     th = gh * p - lh  # garbage rows in the last h-block
     tw = gw * p - lw
+    if not th and not tw:
+        return x_packed
+    fy, fx = _pos_offsets(p, pos_map)
     if th:
-        m = (np.arange(p) < p - th).astype(np.float32)
-        mask = np.kron(m, np.ones(p * c, np.float32))  # channel order (dy,dx,c)
+        mask = np.repeat((fy < p - th).astype(np.float32), c)
         x_packed = x_packed.at[:, -1, :, :].multiply(jnp.asarray(mask, x_packed.dtype))
     if tw:
-        m = (np.arange(p) < p - tw).astype(np.float32)
-        mask = np.kron(np.ones(p, np.float32), np.kron(m, np.ones(c, np.float32)))
+        mask = np.repeat((fx < p - tw).astype(np.float32), c)
         x_packed = x_packed.at[:, :, -1, :].multiply(jnp.asarray(mask, x_packed.dtype))
     return x_packed
 
@@ -256,6 +275,7 @@ def instance_norm_packed(
     eps: float = 1e-3,
     *,
     valid_hw: Tuple[int, int] | None = None,
+    pos_map=None,
 ) -> jax.Array:
     """Instance norm with statistics per REAL channel computed in packed
     layout: the p^2 position groups fold into the (H,W) reduction. Same
@@ -269,6 +289,11 @@ def instance_norm_packed(
     high-magnitude maps and NaN through rsqrt). None (aligned case)
     bit-matches the naive path.
 
+    `pos_map`: channel position order for the validity mask (see
+    _pos_offsets) — lets the masked statistics run on permuted packings
+    such as the grouped upsample_0 order without repacking first. Ignored
+    when aligned (the p^2-group fold is order-invariant).
+
     A hand-written Pallas IN kernel was carried rounds 1-4 and measured
     SLOWER than XLA's fused reduce+elementwise on v5e at every shape tried
     (best rewrite 0.64 vs 0.47 ms at 290x500x256 bf16); in-net, XLA fuses
@@ -278,24 +303,27 @@ def instance_norm_packed(
     """
     if valid_hw is not None:
         valid_hw = tuple(valid_hw)  # hashable for the nondiff argnum
-    return _in_packed_cv(x_packed, scale, shift, p, eps, valid_hw)
+    if pos_map is not None:
+        pos_map = tuple(map(tuple, pos_map))  # likewise hashable
+    return _in_packed_cv(x_packed, scale, shift, p, eps, valid_hw, pos_map)
 
 
-def _in_mask(p: int, hp: int, wp: int, valid_hw) -> jnp.ndarray | None:
+def _in_mask(p: int, hp: int, wp: int, valid_hw, pos_map=None) -> jnp.ndarray | None:
     """Static {0,1} validity mask [1,hp,wp,p*p,1], or None when aligned."""
     if valid_hw is None:
         return None
     lh, lw = valid_hw
     if (lh, lw) == (hp * p, wp * p):
         return None
-    row_valid = (np.arange(hp * p) < lh).reshape(hp, p)
-    col_valid = (np.arange(wp * p) < lw).reshape(wp, p)
-    mask = (row_valid[:, None, :, None] & col_valid[None, :, None, :]).astype(np.float32)
+    fy, fx = _pos_offsets(p, pos_map)
+    rows = np.arange(hp)[:, None] * p + fy[None, :]  # [hp, p*p] fine rows
+    cols = np.arange(wp)[:, None] * p + fx[None, :]  # [wp, p*p] fine cols
+    mask = ((rows[:, None, :] < lh) & (cols[None, :, :] < lw)).astype(np.float32)
     return jnp.asarray(mask.reshape(1, hp, wp, p * p, 1))
 
 
-def _in_packed_moments(xf, p, valid_hw, hp, wp):
-    mask = _in_mask(p, hp, wp, valid_hw)
+def _in_packed_moments(xf, p, valid_hw, hp, wp, pos_map=None):
+    mask = _in_mask(p, hp, wp, valid_hw, pos_map)
     if mask is None:
         mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
@@ -311,29 +339,31 @@ def _in_packed_moments(xf, p, valid_hw, hp, wp):
     return mean, var, count, mask
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _in_packed_cv(x_packed, scale, shift, p, eps, valid_hw):
-    out, _ = _in_packed_fwd_math(x_packed, scale, shift, p, eps, valid_hw)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _in_packed_cv(x_packed, scale, shift, p, eps, valid_hw, pos_map):
+    out, _ = _in_packed_fwd_math(x_packed, scale, shift, p, eps, valid_hw, pos_map)
     return out
 
 
-def _in_packed_fwd_math(x_packed, scale, shift, p, eps, valid_hw):
+def _in_packed_fwd_math(x_packed, scale, shift, p, eps, valid_hw, pos_map):
     n, hp, wp, cc = x_packed.shape
     c = cc // (p * p)
     xf = x_packed.astype(jnp.float32).reshape(n, hp, wp, p * p, c)
-    mean, var, _count, _mask = _in_packed_moments(xf, p, valid_hw, hp, wp)
+    mean, var, _count, _mask = _in_packed_moments(xf, p, valid_hw, hp, wp, pos_map)
     rstd = lax.rsqrt(var + eps)
     normed = (xf - mean) * rstd
     out = scale.astype(jnp.float32) * normed + shift.astype(jnp.float32)
     return out.reshape(n, hp, wp, cc).astype(x_packed.dtype), (mean, rstd)
 
 
-def _in_packed_cv_fwd(x_packed, scale, shift, p, eps, valid_hw):
-    out, (mean, rstd) = _in_packed_fwd_math(x_packed, scale, shift, p, eps, valid_hw)
+def _in_packed_cv_fwd(x_packed, scale, shift, p, eps, valid_hw, pos_map):
+    out, (mean, rstd) = _in_packed_fwd_math(
+        x_packed, scale, shift, p, eps, valid_hw, pos_map
+    )
     return out, (x_packed, scale, shift, mean, rstd)
 
 
-def _in_packed_cv_bwd(p, eps, valid_hw, res, g):
+def _in_packed_cv_bwd(p, eps, valid_hw, pos_map, res, g):
     """Classic normalization backward (2 fused reductions + 1 elementwise
     pass) in place of autodiff through the two-pass moments graph, which
     measured ~5.5 ms of a 20 ms b4@256 train step. Exact: the derivation
@@ -344,7 +374,7 @@ def _in_packed_cv_bwd(p, eps, valid_hw, res, g):
     c = cc // (p * p)
     xf = x_packed.astype(jnp.float32).reshape(n, hp, wp, p * p, c)
     gf = g.astype(jnp.float32).reshape(n, hp, wp, p * p, c)
-    mask = _in_mask(p, hp, wp, valid_hw)
+    mask = _in_mask(p, hp, wp, valid_hw, pos_map)
     count = float(valid_hw[0] * valid_hw[1]) if mask is not None else float(hp * p * wp * p)
     xm = xf - mean
     u = jnp.sum(gf, axis=(1, 2, 3), keepdims=True)  # [n,1,1,1,c]

@@ -138,6 +138,82 @@ def test_masked_instance_norm_matches_naive_on_ragged(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_masked_in_and_zero_tail_grouped_pos_map(rng):
+    """The pos_map generalization (round 5): masked IN and zero_tail on a
+    GROUPED-order tensor (upsample_0's (dy,dx,(py,px,c)) layout) must equal
+    the standard-order results after permuting the position groups — fwd,
+    input cotangent, and tail re-zeroing alike."""
+    from faststyle_tpu.ops import packed as PK
+
+    p, c = 4, 5
+    pos_map = transform_net._GROUPED_POS4
+    # perm[g] = standard group index of grouped group g
+    perm = np.array([fy * p + fx for fy, fx in pos_map])
+    lh, lw = 10, 13  # ragged on both axes (3x4 blocks cover 12 x 16)
+    x = (rng.standard_normal((1, 3, 4, p * p, c)) * 20 + 100).astype(np.float32)
+    scale = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+    shift = jnp.asarray(rng.standard_normal(c).astype(np.float32))
+
+    def flat(t):
+        return jnp.asarray(t.reshape(1, 3, 4, p * p * c))
+
+    # zero the garbage tails per the caller contract, in standard order
+    x_std = np.asarray(
+        PK.zero_tail(flat(x), p, c, lh, lw)
+    ).reshape(1, 3, 4, p * p, c)
+    x_grp = x_std[:, :, :, perm, :]
+
+    def run(t, pm):
+        return PK.instance_norm_packed(flat(t), scale, shift, p, valid_hw=(lh, lw), pos_map=pm)
+
+    out_std = np.asarray(run(x_std, None)).reshape(1, 3, 4, p * p, c)
+    out_grp = np.asarray(run(x_grp, pos_map)).reshape(1, 3, 4, p * p, c)
+    np.testing.assert_allclose(out_grp, out_std[:, :, :, perm, :], rtol=1e-5, atol=1e-5)
+
+    g_std = np.asarray(
+        jax.grad(lambda t: jnp.sum(run(t, None) ** 2))(
+            jnp.asarray(x_std)
+        )
+    ).reshape(1, 3, 4, p * p, c)
+    g_grp = np.asarray(
+        jax.grad(lambda t: jnp.sum(run(t, pos_map) ** 2))(
+            jnp.asarray(x_grp)
+        )
+    ).reshape(1, 3, 4, p * p, c)
+    np.testing.assert_allclose(g_grp, g_std[:, :, :, perm, :], rtol=1e-4, atol=1e-4)
+
+    zt_std = np.asarray(PK.zero_tail(flat(x), p, c, lh, lw)).reshape(1, 3, 4, p * p, c)
+    zt_grp = np.asarray(
+        PK.zero_tail(flat(x.reshape(1, 3, 4, p * p, c)[:, :, :, perm, :]), p, c, lh, lw, pos_map=pos_map)
+    ).reshape(1, 3, 4, p * p, c)
+    np.testing.assert_allclose(zt_grp, zt_std[:, :, :, perm, :], atol=0)
+
+
+def test_packed_ragged_grad_matches_naive(starry_params):
+    """Param grads through the RAGGED grouped-order upsample route (masked
+    IN with pos_map, custom VJP) must equal the naive path's: the forward is
+    an exact relayout, so cotangents agree up to fp reassociation. 26x34
+    makes the upsample_0 extents ragged on both axes (14 and 18, % 4 != 0),
+    forcing the pos_map branch."""
+    x = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 255, (1, 26, 34, 3)), jnp.float32
+    )
+
+    def loss(params, layout):
+        return jnp.mean(transform_net.apply(params, x, layout=layout) ** 2)
+
+    gp = jax.grad(lambda p: loss(p, "packed"))(starry_params)
+    gn = jax.grad(lambda p: loss(p, "naive"))(starry_params)
+    flat_n = dict(jax.tree_util.tree_leaves_with_path(gn))
+    for path, vp in jax.tree_util.tree_leaves_with_path(gp):
+        vn = np.asarray(flat_n[path])
+        scale = max(1e-6, float(np.abs(vn).max()))
+        np.testing.assert_allclose(
+            np.asarray(vp), vn, rtol=2e-3, atol=2e-3 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 @pytest.mark.slow
 def test_packed_path_differentiable(starry_params):
     """Training runs the packed path: grads must flow through kernel packing."""
