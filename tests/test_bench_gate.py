@@ -64,7 +64,10 @@ def test_gate_timeout(monkeypatch):
 
 
 # --- _slope_rate: the two-point timing slope must never publish an absurd
-# rate when RTT jitter inverts or flattens the pair (review r4) ---
+# rate when RTT jitter inverts or flattens the pair (review r4), and must
+# not reject legitimate slopes when the sync RTT dominates t_big in --quick
+# mode (advisor r4). _slope_rate now probes run(0) twice first (the pure
+# sync constant), so stubbed runners carry two leading sync samples. ---
 
 
 def _runner(times):
@@ -79,20 +82,32 @@ def test_slope_rate_cancels_constant_sync():
 
 
 def test_slope_rate_retries_after_jitter_inversion():
-    # first pair inverted by a jitter spike (t_small > t_big); the retry pair
-    # is clean and its slope is used: (0.48 - 0.105) / (60 - 20) = 9.375 ms
-    rate = bench._slope_rate(_runner([0.60, 0.48, 0.105, 0.48]), 60)
+    # leading pair = sync probes; first measurement pair inverted by a jitter
+    # spike (t_small > t_big); the retry pair is clean and its slope is used:
+    # (0.48 - 0.105) / (60 - 20) = 9.375 ms
+    rate = bench._slope_rate(_runner([0.03, 0.03, 0.60, 0.48, 0.105, 0.48]), 60)
     assert abs(1.0 / rate - (0.48 - 0.105) / 40) < 1e-12
 
 
-def test_slope_rate_falls_back_conservative():
-    # both pairs flat (pure-noise slope ~0): fall back to t_big/n_big, which
-    # still contains the sync and so can only understate — never 1e9 fps
-    rate = bench._slope_rate(_runner([0.50, 0.50, 0.50, 0.50]), 60)
-    assert abs(rate - 60 / 0.50) < 1e-9
+def test_slope_rate_falls_back_conservative_and_bounded():
+    # both pairs flat (pure-noise slope ~0): fall back to the sync-corrected
+    # direct rate, clamped so the correction can never manufacture more than
+    # a 5x speedup over t_big/n_big — never 1e9 fps
+    rate = bench._slope_rate(_runner([0.45, 0.45, 0.50, 0.50, 0.50, 0.50]), 60)
+    assert abs(rate - 60 / max(0.50 - 0.45, 0.2 * 0.50)) < 1e-9
+    assert rate <= 5 * 60 / 0.50 + 1e-9
+
+
+def test_slope_rate_accepts_quick_mode_slope_under_big_rtt():
+    # advisor r4: sync 100 ms, true slope 2 ms/iter, n_big=10 — the old
+    # 0.2*t_big/n_big floor (2.4 ms) rejected this legitimate slope and
+    # published the RTT-inflated fallback (83/s instead of 500/s)
+    rate = bench._slope_rate(lambda n: 0.100 + n * 0.002, 10)
+    assert abs(1.0 / rate - 0.002) < 1e-12
 
 
 def test_slope_rate_single_iteration_budget():
-    # n_big == 1 forces n_small == n_big: no slope exists, use the direct rate
-    rate = bench._slope_rate(_runner([0.2, 0.2]), 1)
-    assert abs(rate - 1 / 0.2) < 1e-9
+    # n_big == 1 forces n_small == n_big: no slope exists, use the direct
+    # rate with the measured sync constant removed
+    rate = bench._slope_rate(_runner([0.1, 0.1, 0.2, 0.2]), 1)
+    assert abs(rate - 1 / 0.1) < 1e-9

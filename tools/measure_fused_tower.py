@@ -15,7 +15,10 @@ enable_compilation_cache()
 
 for fused in (False, True):
     for rep in range(2):
-        rate = bench_train_step(100, "bfloat16", fused_content_tower=fused)
+        runs, _flops = bench_train_step(
+            100, "bfloat16", fused_content_tower=fused, repeats=1
+        )
+        rate = runs[0]
         print(
             f"fused={fused} rep{rep}: {1e3 / rate:.2f} ms/step  ({rate:.1f} steps/s)",
             flush=True,

@@ -6,8 +6,17 @@ SSIM thresholds: f32 carries the same >=0.99 bar as the CPU suite (the TF1
 oracle parity contract, SURVEY.md §4); bf16 runs the conv stack in bfloat16
 (instance-norm stats stay f32) and lands >=0.98 on these oracles — visually
 identical, pinned a hair looser than f32 to cover MXU rounding.
+
+Every forward here goes through ONE jitted program per (shape, dtype,
+layout) — the production shape (Stylizer jits exactly like this) AND the
+gate's cost model: eager op-by-op execution paid a tunnel round-trip plus a
+per-op compile for each of ~50 ops per forward, which is what made the
+round-4 gate cost 12-18 min (review r4 weak #3). Whole-program compiles are
+also what the persistent compilation cache (conftest) can actually reuse
+across bench runs.
 """
 
+import functools
 from pathlib import Path
 
 import jax
@@ -21,10 +30,17 @@ from faststyle_tpu.utils.metrics import ssim
 ASSETS = Path(__file__).resolve().parent.parent / "tests" / "assets"
 
 
+@functools.partial(jax.jit, static_argnames=("dtype", "layout", "upsample"))
+def _fwd(params, x, dtype=None, layout="auto", upsample="resize"):
+    return transform_net.apply(
+        params, x, upsample, compute_dtype=dtype, layout=layout
+    )
+
+
 def _golden(params, src_name, oracle_name, dtype, threshold):
     golden = image_io.imread(ASSETS / oracle_name)
     x = jnp.asarray(image_io.imread(ASSETS / src_name), jnp.float32)[None]
-    out = np.asarray(transform_net.apply(params, x, compute_dtype=dtype))[0]
+    out = np.asarray(_fwd(params, x, dtype=dtype))[0]
     score = ssim(np.clip(out, 0, 255), golden)
     assert score >= threshold, f"SSIM {score:.4f} < {threshold} on TPU"
 
@@ -64,8 +80,8 @@ def test_packed_matches_naive_on_tpu(starry_params):
     misrouted phases produce structural errors at O(50-200) counts."""
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.uniform(0, 255, (1, 96, 88, 3)), jnp.float32)
-    naive = np.asarray(transform_net.apply(starry_params, x, layout="naive"))
-    fast = np.asarray(transform_net.apply(starry_params, x, layout="packed"))
+    naive = np.asarray(_fwd(starry_params, x, layout="naive"))
+    fast = np.asarray(_fwd(starry_params, x, layout="packed"))
     np.testing.assert_allclose(fast, naive, atol=4.0)  # [0,255] scale
 
 
@@ -81,8 +97,10 @@ def test_packed_matches_naive_highest_precision(starry_params):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.uniform(0, 255, (1, 96, 88, 3)), jnp.float32)
     with jax.default_matmul_precision("highest"):
-        naive = np.asarray(transform_net.apply(starry_params, x, layout="naive"))
-        fast = np.asarray(transform_net.apply(starry_params, x, layout="packed"))
+        # the precision config is part of jit's trace context, so these are
+        # distinct compiled programs from the default-precision test above
+        naive = np.asarray(_fwd(starry_params, x, layout="naive"))
+        fast = np.asarray(_fwd(starry_params, x, layout="packed"))
     np.testing.assert_allclose(fast, naive, atol=0.5)  # [0,255] scale
 
 
@@ -152,9 +170,7 @@ def test_deconv_oracle_parity(starry_params):
     params = load_params(ASSETS / "deconv_oracle_net.npz")
     golden = image_io.imread(ASSETS / "deconv_crop256_tf_oracle.png")
     x = jnp.asarray(image_io.imread(ASSETS / "chicago_crop256.png"), jnp.float32)[None]
-    out = np.asarray(
-        transform_net.apply(params, x, "deconv", layout="packed")
-    )[0]
+    out = np.asarray(_fwd(params, x, layout="packed", upsample="deconv"))[0]
     score = ssim(np.clip(out, 0, 255), golden)
     assert score >= 0.99, f"SSIM {score:.4f}"
 
