@@ -61,7 +61,31 @@ def setup_parser():
         "frame's dispatch) — skips the device-side output relayout, the "
         "largest remaining per-frame cost (docs/PERF.md).",
     )
+    parser.add_argument(
+        "--pipeline_depth",
+        type=int,
+        default=1,
+        help="Frames kept in flight on the device. 1 (default) dispatches "
+        "frame N then fetches N-1 — throughput without an extra frame of "
+        "induced latency. Higher depths raise throughput toward the "
+        "slowest-stage rate at ~depth x the stage period of per-frame "
+        "latency (docs/SERVING.md 'Latency vs throughput'). Interactive "
+        "use wants <=2; offline video transcodes want more.",
+    )
+    parser.add_argument(
+        "--report_latency",
+        action="store_true",
+        help="Print per-frame induced latency (capture->emit, p50/p99) at "
+        "the end of the stream alongside the fps line.",
+    )
     return parser
+
+
+def _latency_line(lat_s):
+    lat = sorted(v * 1e3 for v in lat_s)
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(0.99 * len(lat)))]
+    return f"per-frame latency p50 {p50:.1f} ms / p99 {p99:.1f} ms"
 
 
 def synthetic_frames(n, h, w):
@@ -107,23 +131,34 @@ def main():
         def fetch(styled, h, w):
             return np.asarray(styled)[:, :h, :w]
 
+    from collections import deque
+
+    depth = max(args.pipeline_depth, 1)
+
     if args.num_synthetic_frames > 0:
         w, h = args.resolution if args.resolution else (800, 600)
         print(f"Synthetic stream at {w}x{h}; compiling...")
         stylizer.warmup(h, w, dtypes=[np.uint8])  # frames are uint8-only here
         frames = synthetic_frames(args.num_synthetic_frames, h, w)
         t0 = time.perf_counter()
-        pending = None
+        inflight = deque()  # (t_submit, styled): fetch once `depth` are queued
+        lat = []
         count = 0
         for frame in frames:
-            out = stylizer.stylize_batch(frame[None])
-            if pending is not None:
-                fetch(pending, h, w)  # fetch previous while current computes
-            pending = out
+            inflight.append((time.perf_counter(), stylizer.stylize_batch(frame[None])))
+            if len(inflight) > depth:
+                ts, out = inflight.popleft()
+                fetch(out, h, w)  # fetch oldest while newer frames compute
+                lat.append(time.perf_counter() - ts)
             count += 1
-        fetch(pending, h, w)
+        while inflight:
+            ts, out = inflight.popleft()
+            fetch(out, h, w)
+            lat.append(time.perf_counter() - ts)
         dt = time.perf_counter() - t0
         print(f"{count} frames in {dt:.3f}s = {count / dt:.2f} fps")
+        if args.report_latency and lat:
+            print(_latency_line(lat))
         return
 
     import cv2
@@ -147,11 +182,13 @@ def main():
     out_writer = cv2.VideoWriter(args.output_path, fourcc, src_fps, (x_new, y_new))
 
     count = 0
+    lat = []
     t0 = time.perf_counter()
 
-    def emit(styled) -> bool:
+    def emit(ts, styled) -> bool:
         """Fetch a finished frame, write/display it; True to keep going."""
         img_out = fetch(styled, y_new, x_new)[0]
+        lat.append(time.perf_counter() - ts)
         bgr = cv2.cvtColor(img_out, cv2.COLOR_RGB2BGR)
         out_writer.write(bgr)
         if not args.no_display:
@@ -160,32 +197,34 @@ def main():
                 return False
         return True
 
-    pending = None  # dispatch frame N, then fetch frame N-1: capture/encode
-    try:  # overlap with TPU compute via JAX's async dispatch
+    inflight = deque()  # (t_submit, styled): dispatch frame N, fetch frame
+    try:  # N-depth — capture/encode overlap TPU compute via async dispatch
         while True:
             # bound check BEFORE dispatching: --max_frames 0 must process
             # zero frames, not dispatch-then-emit one
-            if 0 <= args.max_frames <= count + (pending is not None):
+            if 0 <= args.max_frames <= count + len(inflight):
                 break
             ret, frame = cap.read()
             if not ret:
                 break
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)  # uint8 end-to-end:
             # 4x smaller host->device transfer + 1-byte device relayouts
-            styled = stylizer.stylize_batch(rgb[None])
-            if pending is not None:
+            inflight.append((time.perf_counter(), stylizer.stylize_batch(rgb[None])))
+            if len(inflight) > depth:
                 count += 1
-                if not emit(pending):
-                    pending = None
+                if not emit(*inflight.popleft()):
+                    inflight.clear()
                     break
-            pending = styled
-        if pending is not None:
+        while inflight:
             count += 1
-            emit(pending)
+            if not emit(*inflight.popleft()):
+                break
     finally:
         dt = time.perf_counter() - t0
         if count:
             print(f"{count} frames in {dt:.2f}s = {count / dt:.2f} fps -> {args.output_path}")
+            if args.report_latency and lat:
+                print(_latency_line(lat))
         cap.release()
         out_writer.release()
         if not args.no_display:

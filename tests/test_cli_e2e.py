@@ -211,6 +211,67 @@ def test_stylize_webcam_packed_fetch(monkeypatch, capsys):
     assert "fps" in capsys.readouterr().out
 
 
+def test_stylize_webcam_pipeline_depth_and_latency(monkeypatch, capsys):
+    """--pipeline_depth keeps N frames in flight; --report_latency prints
+    per-frame induced p50/p99 (docs/SERVING.md latency/throughput trade)."""
+    _run(
+        "stylize_webcam",
+        [
+            "--model_path", str(ROOT / "models/starry_final.npz"),
+            "--num_synthetic_frames", "5",
+            "--resolution", "64", "48",
+            "--precision", "float32",
+            "--pipeline_depth", "3",
+            "--report_latency",
+        ],
+        monkeypatch,
+    )
+    out = capsys.readouterr().out
+    assert "5 frames" in out and "fps" in out
+    assert "latency p50" in out and "p99" in out
+
+
+def test_stylize_webcam_video_pipeline_depth_exact_count(tmp_path, monkeypatch):
+    """The depth-bounded in-flight queue must still emit every frame exactly
+    once when the source ends mid-pipeline (drain path) and respect
+    --max_frames with frames in flight."""
+    cv2 = pytest.importorskip("cv2")
+
+    src = tmp_path / "src.avi"
+    wr = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"XVID"), 5.0, (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        wr.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    wr.release()
+
+    def frames_in(path):
+        cap = cv2.VideoCapture(str(path))
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        return n
+
+    # depth 3 > remaining source frames exercises the end-of-stream drain;
+    # max_frames 4 < source length exercises the bound with a full pipeline
+    for max_frames, want in ((-1, 5), (4, 4)):
+        out = tmp_path / f"out_d3_{max_frames}.avi"
+        _run(
+            "stylize_webcam",
+            [
+                "--model_path", str(ROOT / "models/starry_final.npz"),
+                "--video_path", str(src),
+                "--output_path", str(out),
+                "--max_frames", str(max_frames),
+                "--pipeline_depth", "3",
+                "--no_display",
+                "--precision", "float32",
+            ],
+            monkeypatch,
+        )
+        assert frames_in(out) == want, (max_frames, want)
+
+
 def test_stylize_webcam_video_max_frames(tmp_path, monkeypatch):
     """--video_path source with --max_frames N processes exactly N frames;
     N=0 writes an empty output (review r3: it used to dispatch-then-emit 1)."""
