@@ -549,6 +549,21 @@ def run_tpu_gate(timeout=900):
         return "ERROR", f"ERROR ({type(e).__name__}: {e})"
 
 
+def gate_with_recovery(slice_secs, budget_left, retry_secs=300, min_budget=1200):
+    """Gate once; if the slice was eaten by a timeout, retry once bounded.
+
+    Observed failure shape (2026-08-20 rehearsal): the tunnel hangs at jax
+    init inside the gate subprocess and consumes the full 45% slice, then
+    recovers — a retry on the recovered tunnel passes the (warm, jitted)
+    gate in ~80 s. The retry only runs if `budget_left()` (seconds of
+    watchdog budget remaining) still leaves room for the benches."""
+    status, detail = run_tpu_gate(slice_secs)
+    if status == "ERROR" and "TimeoutExpired" in detail and budget_left() > min_budget:
+        status, retry_detail = run_tpu_gate(retry_secs)
+        detail = f"{retry_detail} (after a timed-out first attempt)"
+    return status, detail
+
+
 def bench_train_step(steps=20, precision="float32", fused_content_tower=False, repeats=3):
     """Train step/sec at the reference recipe shapes (batch 4 @ 256px),
     synthetic data, random VGG (weights don't change the math's cost).
@@ -842,11 +857,14 @@ def main():
         # bounded slice of the watchdog budget so a slow cold-cache compile
         # can't starve the benches themselves (review r4).
         budget = args.watchdog_secs if args.watchdog_secs > 0 else 3300.0
-        # measured: warm-cache gate ≈ 700 s on the tunneled chip (cold
-        # compiles push past 900), and the post-gate benches need ~400 s
-        # warm — so give the gate up to 45% of the watchdog budget
-        gate_status, gate_detail = run_tpu_gate(
-            300 if args.quick else min(1500, int(budget * 0.45))
+        # measured: warm-cache gate ≈ 81 s since the round-5 whole-program
+        # jit refactor (was ~700 s eager; cold compiles or a tunnel hang can
+        # still consume the slice) — cap the gate at 45% of the watchdog
+        # budget; if it eats that, the degrade-to-quick guard below keeps
+        # the benches publishable
+        gate_status, gate_detail = gate_with_recovery(
+            300 if args.quick else min(1500, int(budget * 0.45)),
+            lambda: args.watchdog_secs - (time.perf_counter() - t_start),
         )
         details["tpu_tests"] = gate_detail
         if gate_status == "FAIL":
@@ -866,6 +884,23 @@ def main():
             if watchdog is not None:
                 watchdog.cancel()
             sys.exit(3)
+
+    if not args.quick and args.watchdog_secs > 0:
+        # a tunnel hang inside the gate (observed: pytest subprocess blocked
+        # to its full 45% slice) can leave too little watchdog budget for
+        # the full-size benches — then the watchdog kills a half-done run
+        # and the artifact is a zero. Degrade to quick-mode sizes instead:
+        # every metric still publishes, with the downgrade recorded. The
+        # full benches need ~1500 s warm on this tunnel; quick needs ~800.
+        remaining_budget = args.watchdog_secs - (time.perf_counter() - t_start)
+        if remaining_budget < 1800:
+            args.quick = True
+            details["degraded_to_quick"] = (
+                f"only {remaining_budget:.0f}s of watchdog budget left after "
+                "the gate — measuring at --quick sizes so the artifact "
+                "completes instead of dying at the watchdog"
+            )
+            print(f"[bench] {details['degraded_to_quick']}", file=sys.stderr, flush=True)
 
     import jax as _jax
 

@@ -63,6 +63,44 @@ def test_gate_timeout(monkeypatch):
     assert status == "ERROR" and "TimeoutExpired" in detail
 
 
+def test_gate_retry_after_timeout_with_budget(monkeypatch):
+    """A timed-out gate slice retries ONCE (bounded) when watchdog budget
+    remains — a tunnel hang that recovers must not leave the artifact with
+    a spurious gate ERROR (observed in the round-5 rehearsal)."""
+    calls = []
+
+    def fake_gate(timeout):
+        calls.append(timeout)
+        if len(calls) == 1:
+            return "ERROR", "ERROR (TimeoutExpired: ... timed out after 1485 seconds)"
+        return "pass", "pass (11 passed in 81.2s)"
+
+    monkeypatch.setattr(bench, "run_tpu_gate", fake_gate)
+    status, detail = bench.gate_with_recovery(1485, lambda: 2000)
+    assert status == "pass" and "after a timed-out first attempt" in detail
+    assert calls == [1485, 300]
+
+
+def test_gate_no_retry_without_budget_or_on_real_error(monkeypatch):
+    calls = []
+
+    def fake_gate(timeout):
+        calls.append(timeout)
+        return "ERROR", "ERROR (TimeoutExpired: ...)"
+
+    monkeypatch.setattr(bench, "run_tpu_gate", fake_gate)
+    # budget too thin: no retry
+    status, _ = bench.gate_with_recovery(1485, lambda: 600)
+    assert status == "ERROR" and calls == [1485]
+    # non-timeout errors never retry
+    calls.clear()
+    monkeypatch.setattr(
+        bench, "run_tpu_gate", lambda t: (calls.append(t), ("ERROR", "ERROR (OSError: boom)"))[1]
+    )
+    status, _ = bench.gate_with_recovery(1485, lambda: 9999)
+    assert status == "ERROR" and calls == [1485]
+
+
 # --- _slope_rate: the two-point timing slope must never publish an absurd
 # rate when RTT jitter inverts or flattens the pair (review r4), and must
 # not reject legitimate slopes when the sync RTT dominates t_big in --quick
